@@ -1,0 +1,402 @@
+"""Per-tile NumPy focal (moving-window) kernels — the reference core.
+
+Re-expresses the moving-window indicators of ahhz/moving_window
+(operators W1–W13, SURVEY.md §2.6) with Spark-friendly per-tile NumPy:
+instead of the reference's incremental accumulator slide (O(edge) per
+step), every kernel here is computed by *chord-decomposed sliding sums*
+(exact, O(r·H·W) per plane) or FFT correlation (weighted kernels) —
+radius-near-independent per tile, matching the paper's headline
+property (SURVEY.md §4.1).
+
+Semantics pinned in SURVEY.md §5.3 (normative):
+- inputs are float64 2-D arrays, NaN = nodata / outside-raster;
+- window shapes: "square" = Chebyshev distance ≤ r; "circle" =
+  Euclidean center distance ≤ r (closed), distances in cell units;
+- boundary policy: shrinking window (outside cells don't exist);
+  denominators count valid in-raster cells only;
+- edges (W9–W10): rook-adjacent cell pairs; an edge is in the window
+  iff BOTH endpoint cells are; edges touching nodata are excluded;
+- patches (W11–W13): edge correction — a patch contributes its FULL
+  area/attributes weighted by the fraction of its cells inside the
+  window (see engine/patches.py for the identities used);
+- mode tie → smallest class id; Shannon uses natural log; 0·ln0 = 0;
+- means are sum/count at extract time (no running mean).
+
+These functions operate on a single (already halo-padded) array and are
+called inside ``applyInPandas`` groups by engine/tiling.py; they are
+also called directly by the brute-force golden tests, which recompute
+every output cell by explicit window enumeration.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "chords_for",
+    "edge_planes",
+    "focal_count",
+    "focal_edge_density",
+    "focal_extremum",
+    "focal_interspersion",
+    "focal_majority",
+    "focal_mean",
+    "focal_proportion",
+    "focal_richness",
+    "focal_shannon",
+    "focal_sum",
+    "focal_weighted_mean",
+    "sliding_sum_chords",
+    "weight_mask",
+]
+
+Shape = str  # "square" | "circle"
+
+
+# ---------------------------------------------------------------------------
+# footprint decomposition: every pinned footprint is a union of per-row
+# chords {dy: [lo_dx, hi_dx]} — exact sliding sums need no convolution.
+# ---------------------------------------------------------------------------
+
+def chords_for(shape: Shape, r: int, element: str = "cell") -> list[tuple[int, int, int]]:
+    """Footprint of the window as (dy, lo_dx, hi_dx) chords (inclusive).
+
+    element:
+      "cell"   — offsets of member cells relative to the center cell
+      "hedge"  — offsets of horizontal-edge anchors (left endpoint):
+                 edge (y,x)-(y,x+1) is in W iff both endpoints are
+      "vedge"  — offsets of vertical-edge anchors (top endpoint)
+    """
+    if r < 0:
+        raise ValueError("r must be >= 0")
+    out: list[tuple[int, int, int]] = []
+    if shape == "square":
+        if element == "cell":
+            return [(dy, -r, r) for dy in range(-r, r + 1)]
+        if element == "hedge":
+            return [(dy, -r, r - 1) for dy in range(-r, r + 1)] if r > 0 else []
+        if element == "vedge":
+            return [(dy, -r, r) for dy in range(-r, r)] if r > 0 else []
+    elif shape == "circle":
+        r2 = r * r
+        if element == "cell":
+            for dy in range(-r, r + 1):
+                h = math.isqrt(r2 - dy * dy)
+                out.append((dy, -h, h))
+            return out
+        if element == "hedge":
+            # need dy² + dx² ≤ r² AND dy² + (dx+1)² ≤ r²  →  dx ∈ [-h, h-1]
+            for dy in range(-r, r + 1):
+                h = math.isqrt(r2 - dy * dy)
+                if h >= 1:
+                    out.append((dy, -h, h - 1))
+            return out
+        if element == "vedge":
+            # endpoints (dy,dx),(dy+1,dx): dx² ≤ r² - max(dy,dy+1 by |·|)²
+            for dy in range(-r, r):
+                m = max(abs(dy), abs(dy + 1))
+                h = math.isqrt(r2 - m * m) if m * m <= r2 else -1
+                if h >= 0:
+                    out.append((dy, -h, h))
+            return out
+    raise ValueError(f"unknown shape/element: {shape}/{element}")
+
+
+def sliding_sum_chords(
+    plane: np.ndarray, chords: list[tuple[int, int, int]]
+) -> np.ndarray:
+    """out[y, x] = Σ_{(dy,lo,hi)} Σ_{dx=lo..hi} plane[y+dy, x+dx].
+
+    Out-of-array offsets contribute 0 (shrinking-window boundary).
+    Exact (no FFT): per-row prefix sums + vertical shifted adds.
+    """
+    H, W = plane.shape
+    # prefix sums along x with a leading zero column
+    cs = np.zeros((H, W + 1), dtype=np.float64)
+    np.cumsum(plane, axis=1, out=cs[:, 1:])
+    out = np.zeros((H, W), dtype=np.float64)
+    xs = np.arange(W)
+    for dy, lo, hi in chords:
+        y0, y1 = max(0, -dy), min(H, H - dy)  # output rows with valid source
+        if y0 >= y1:
+            continue
+        src = cs[y0 + dy : y1 + dy]
+        a = np.clip(xs + lo, 0, W)
+        b = np.clip(xs + hi + 1, 0, W)
+        out[y0:y1] += src[:, b] - src[:, a]
+    return out
+
+
+def _valid_and_values(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    valid = np.isfinite(arr)
+    vals = np.where(valid, arr, 0.0)
+    return vals, valid.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: focal sum / count / mean (square + circular)
+# ---------------------------------------------------------------------------
+
+def focal_sum(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    vals, _ = _valid_and_values(arr)
+    return sliding_sum_chords(vals, chords_for(shape, r))
+
+
+def focal_count(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    _, valid = _valid_and_values(arr)
+    return sliding_sum_chords(valid, chords_for(shape, r))
+
+
+def focal_mean(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    s = focal_sum(arr, r, shape)
+    c = focal_count(arr, r, shape)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = s / c
+    out[c == 0] = np.nan
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W3: distance-weighted mean (FFT correlation with a weight mask)
+# ---------------------------------------------------------------------------
+
+def weight_mask(r: int, kind: str = "gaussian", sigma: float | None = None) -> np.ndarray:
+    """(2r+1)² weight mask over the circular support d ≤ r (closed).
+
+    kind = "gaussian": w = exp(-d²/(2σ²)), σ default r/2;
+    kind = "invdist":  w = 1/(1+d).  Outside the disk: 0.
+    """
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    d = np.sqrt((dy * dy + dx * dx).astype(np.float64))
+    if kind == "gaussian":
+        s = float(sigma) if sigma is not None else r / 2.0
+        w = np.exp(-(d * d) / (2.0 * s * s))
+    elif kind == "invdist":
+        w = 1.0 / (1.0 + d)
+    else:
+        raise ValueError(f"unknown weight kind: {kind}")
+    w[d > r] = 0.0
+    return w
+
+
+def _correlate_full(plane: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """out[y,x] = Σ mask[a,b] · plane[y + a - r, x + b - r] (zero outside),
+    via rfft2 on the padded size. mask is (2r+1)²."""
+    H, W = plane.shape
+    mh, mw = mask.shape
+    fh, fw = H + mh - 1, W + mw - 1
+    Fp = np.fft.rfft2(plane, s=(fh, fw))
+    # correlation = convolution with the flipped mask
+    Fm = np.fft.rfft2(mask[::-1, ::-1], s=(fh, fw))
+    full = np.fft.irfft2(Fp * Fm, s=(fh, fw))
+    ry, rx = mh // 2, mw // 2
+    return full[ry : ry + H, rx : rx + W]
+
+
+def focal_weighted_mean(
+    arr: np.ndarray, r: int, kind: str = "gaussian", sigma: float | None = None
+) -> np.ndarray:
+    """Σ w(d)·v / Σ w(d) over valid cells with center distance ≤ r."""
+    vals, valid = _valid_and_values(arr)
+    w = weight_mask(r, kind, sigma)
+    num = _correlate_full(vals, w)
+    den = _correlate_full(valid, w)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den <= 1e-12] = np.nan
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W4: focal min / max — van Herk/Gil-Werman 1-D running extrema, separable
+# for the square window; circle falls back to chord-wise extrema.
+# ---------------------------------------------------------------------------
+
+def _running_extreme_1d(a: np.ndarray, k: int, op) -> np.ndarray:
+    """Per row: extreme over the centered window of width k = 2r+1.
+    van Herk/Gil-Werman: O(1)/cell regardless of k. Caller pre-replaces
+    NaN with ±inf fill; boundary cells see the fill (shrinking window)."""
+    H, W = a.shape
+    r = (k - 1) // 2
+    fill = -np.inf if op is np.maximum else np.inf
+    padded = W + 2 * r
+    n = padded + (-padded) % k  # round up to a multiple of k
+    buf = np.full((H, n), fill, dtype=np.float64)
+    buf[:, r : r + W] = a
+    blocks = buf.reshape(H, n // k, k)
+    fwd = op.accumulate(blocks, axis=2).reshape(H, n)
+    bwd = op.accumulate(blocks[:, :, ::-1], axis=2)[:, :, ::-1].reshape(H, n)
+    # window for output x (0-based in original coords) is buf[x : x+k]
+    return op(bwd[:, 0:W], fwd[:, k - 1 : k - 1 + W])
+
+
+def focal_extremum(arr: np.ndarray, r: int, shape: Shape = "square", mode: str = "max") -> np.ndarray:
+    op = np.maximum if mode == "max" else np.minimum
+    fill = -np.inf if mode == "max" else np.inf
+    a = np.where(np.isfinite(arr), arr, fill)
+    if shape == "square":
+        tmp = _running_extreme_1d(a, 2 * r + 1, op)
+        out = _running_extreme_1d(np.ascontiguousarray(tmp.T), 2 * r + 1, op).T
+    else:
+        H, W = a.shape
+        out = np.full((H, W), fill, dtype=np.float64)
+        for dy, lo, hi in chords_for(shape, r):
+            # chord extreme via shifted scans (chord width ≤ 2r+1; O(r²·H·W)
+            # worst case but r is small; square path above is O(1)/cell)
+            acc = np.full((H, W), fill, dtype=np.float64)
+            for dx in range(lo, hi + 1):
+                x0, x1 = max(0, -dx), min(W, W - dx)
+                if x0 < x1:
+                    acc[:, x0:x1] = op(acc[:, x0:x1], a[:, x0 + dx : x1 + dx])
+            y0s, y1s = max(0, -dy), min(H, H - dy)
+            if y0s < y1s:
+                out[y0s:y1s] = op(out[y0s:y1s], acc[y0s + dy : y1s + dy])
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W5–W8: class statistics (density, richness, Shannon, majority)
+# ---------------------------------------------------------------------------
+
+def _class_counts(
+    class_arr: np.ndarray, r: int, shape: Shape
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-class focal counts. Returns (classes, counts[c], total_valid)."""
+    valid = np.isfinite(class_arr)
+    classes = np.unique(class_arr[valid]) if valid.any() else np.empty(0)
+    chords = chords_for(shape, r)
+    counts = np.stack(
+        [
+            sliding_sum_chords((class_arr == c) & valid, chords)
+            for c in classes
+        ]
+    ) if len(classes) else np.zeros((0,) + class_arr.shape)
+    total = sliding_sum_chords(valid.astype(np.float64), chords)
+    return classes, counts, total
+
+
+def focal_proportion(class_arr: np.ndarray, r: int, klass: float, shape: Shape = "square") -> np.ndarray:
+    """W5: fraction of valid cells in W equal to `klass`."""
+    valid = np.isfinite(class_arr)
+    chords = chords_for(shape, r)
+    num = sliding_sum_chords(((class_arr == klass) & valid).astype(np.float64), chords)
+    den = sliding_sum_chords(valid.astype(np.float64), chords)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den == 0] = np.nan
+    return out
+
+
+def focal_richness(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """W6: number of distinct classes present in W (0 where no valid cells)."""
+    _, counts, total = _class_counts(class_arr, r, shape)
+    # counts are exact integers from chord sums
+    rich = (counts > 0.5).sum(axis=0).astype(np.float64) if len(counts) else np.zeros_like(total)
+    rich[total == 0] = np.nan
+    return rich
+
+
+def focal_shannon(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """W7: −Σ p_c ln p_c over valid cells in W; 0·ln0 = 0; natural log."""
+    _, counts, total = _class_counts(class_arr, r, shape)
+    out = np.zeros(class_arr.shape, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for c in counts:
+            p = np.where(total > 0, c / np.maximum(total, 1.0), 0.0)
+            term = np.where(p > 0, p * np.log(p), 0.0)
+            out -= term
+    out[total == 0] = np.nan
+    return out
+
+
+def focal_majority(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """W8: modal class in W; tie → smallest class id; NaN where empty."""
+    classes, counts, total = _class_counts(class_arr, r, shape)
+    if len(classes) == 0:
+        return np.full(class_arr.shape, np.nan)
+    counts_i = np.rint(counts)
+    best = np.argmax(counts_i, axis=0)  # first (= smallest class) wins ties
+    out = classes[best].astype(np.float64)
+    out[total == 0] = np.nan
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W9–W10: edge-based statistics
+# ---------------------------------------------------------------------------
+
+def edge_planes(class_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(h_valid, h_diff, v_valid, v_diff) planes, anchored at the
+    left/top endpoint. An edge is valid iff BOTH endpoints are valid
+    (nodata edges excluded entirely, §5.3.4). h planes have shape
+    (H, W) with the last column zero; v planes the last row zero."""
+    H, W = class_arr.shape
+    finite = np.isfinite(class_arr)
+    h_valid = np.zeros((H, W), np.float64)
+    h_diff = np.zeros((H, W), np.float64)
+    v_valid = np.zeros((H, W), np.float64)
+    v_diff = np.zeros((H, W), np.float64)
+    hv = finite[:, :-1] & finite[:, 1:]
+    h_valid[:, :-1] = hv
+    h_diff[:, :-1] = hv & (class_arr[:, :-1] != class_arr[:, 1:])
+    vv = finite[:-1, :] & finite[1:, :]
+    v_valid[:-1, :] = vv
+    v_diff[:-1, :] = vv & (class_arr[:-1, :] != class_arr[1:, :])
+    return h_valid, h_diff, v_valid, v_diff
+
+
+def focal_edge_density(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """W9: among edges fully inside W, the fraction whose endpoints
+    differ in class. NaN where W contains no edges."""
+    h_valid, h_diff, v_valid, v_diff = edge_planes(class_arr)
+    hc = chords_for(shape, r, "hedge")
+    vc = chords_for(shape, r, "vedge")
+    diff = sliding_sum_chords(h_diff, hc) + sliding_sum_chords(v_diff, vc)
+    tot = sliding_sum_chords(h_valid, hc) + sliding_sum_chords(v_valid, vc)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = diff / tot
+    out[tot == 0] = np.nan
+    return out
+
+
+def focal_interspersion(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """W10 (IJI-style): evenness of the class-PAIR mix among *boundary*
+    edges (different-class edges) in W:
+        IJI = −Σ_{c<c'} q ln q / ln(n_pairs present in raster)
+    where q = (count of (c,c') edges in W) / (all different-class edges
+    in W). NaN where fewer than 2 boundary-edge types are possible or no
+    boundary edges in W."""
+    H, W = class_arr.shape
+    finite = np.isfinite(class_arr)
+    classes = np.unique(class_arr[finite])
+    ncl = len(classes)
+    if ncl < 2:
+        return np.full((H, W), np.nan)
+    idx = {c: k for k, c in enumerate(classes)}
+    hc = chords_for(shape, r, "hedge")
+    vc = chords_for(shape, r, "vedge")
+    pair_counts: list[np.ndarray] = []
+    for a in range(ncl):
+        for b in range(a + 1, ncl):
+            ca, cb = classes[a], classes[b]
+            hp = np.zeros((H, W), np.float64)
+            vp = np.zeros((H, W), np.float64)
+            l, rgt = class_arr[:, :-1], class_arr[:, 1:]
+            hp[:, :-1] = ((l == ca) & (rgt == cb)) | ((l == cb) & (rgt == ca))
+            t, btm = class_arr[:-1, :], class_arr[1:, :]
+            vp[:-1, :] = ((t == ca) & (btm == cb)) | ((t == cb) & (btm == ca))
+            pair_counts.append(sliding_sum_chords(hp, hc) + sliding_sum_chords(vp, vc))
+    pc = np.stack(pair_counts)
+    total = pc.sum(axis=0)
+    n_pairs = pc.shape[0]
+    out = np.zeros((H, W), np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for kplane in pc:
+            q = np.where(total > 0, kplane / np.maximum(total, 1.0), 0.0)
+            out -= np.where(q > 0, q * np.log(q), 0.0)
+    out /= math.log(n_pairs) if n_pairs > 1 else 1.0
+    out[total == 0] = np.nan
+    return out
