@@ -1,38 +1,73 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline on /root/testdata/sf0.001
+queries()      — one entry per implemented operator (SURVEY.md §2)
+oracle_sql()   — matching DuckDB SQL where expressible; non-SQL spatial
+                 ops (2-D focal kernels, PIP, tile ops) get rows-only
+                 checks and are golden-tested in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:  # make `engine` importable wherever we're loaded from
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _ship(spark: SparkSession) -> None:
+    """Workers need the engine package for applyInPandas functions —
+    the --py-files equivalent for a session we didn't launch."""
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → geocode → cell/tile encode → rasterize →
+    circular r=7 focal mean of document density (tiles out)."""
+    from engine import shim, tiling, udfs
+
+    _ship(spark)
+
+    level, T = 9, 32
+    docs = shim.documents_interleaved(spark, "/root/testdata/sf0.001")
+    pts = udfs.with_cell_and_tile(
+        udfs.geocode_cols(docs), level, T
+    )
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = tiling.apply_focal(
+        tiles, 7, "circle", ["mean"], T, level=level, wrap_nx=(2**level) // T
+    )
+    # stable flat schema for the driver's smoke check (no array payload)
+    from pyspark.sql import functions as F
+
+    valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "level",
+        "band",
+        F.aggregate(valid, F.lit(0.0), lambda a, x: a + x).alias("tile_sum"),
+        F.size(valid).alias("n_valid"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from engine.queries import SQL_QUERIES
+    from engine.spatial_queries import SPATIAL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    out.update(SPATIAL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -1,0 +1,176 @@
+"""Spatial encode operators C1–C6 for Spark (SURVEY.md §2.3).
+
+Two implementations, one semantics (engine.grid is the single source of
+truth, shared with the goldens):
+
+1. **Column expressions** (`*_col` / `geocode_cols`) — pure Catalyst
+   expressions (bit-twiddled Morton interleave with shiftleft/and/or),
+   fully JVM-side and whole-stage-codegen'd; zero Python on the hot
+   path. Preferred in the pipeline.
+2. **pandas UDFs** (`*_pudf`) — Arrow-batched vectorized NumPy over
+   engine.grid, for ops whose output Catalyst can't express cheaply
+   (k_ring arrays) and as the "vectorized Arrow UDF" API surface
+   required by BASELINE.json:6. Never row-at-a-time Python.
+
+Tests assert both paths agree bit-for-bit with engine.grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from engine import grid
+
+_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _part1by1_col(c: Column) -> Column:
+    """Spread low 32 bits so bit k lands at bit 2k (JVM bit ops)."""
+    v = c.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    for shift, mask in _MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def latlon_to_ij_cols(lat: Column, lon: Column, level: int) -> tuple[Column, Column]:
+    """Quantize to grid coords — same formula as grid.latlon_to_ij."""
+    nc, nr = grid.grid_shape(level)
+    i = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(nc)).cast("long")
+    i = ((i % F.lit(nc)) + F.lit(nc)) % F.lit(nc)  # true mod (lon wrap)
+    j = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(nr)).cast("long")
+    j = F.greatest(F.lit(0), F.least(F.lit(nr - 1), j))  # lat clamp
+    return i, j
+
+
+def cell_id_from_ij_cols(i: Column, j: Column, level: int) -> Column:
+    """Pack (i, j, level) into the Morton cell id — pure JVM expression."""
+    low = level - 1
+    top = F.shiftleft(F.shiftright(i, low), 2 * level - 2)
+    body = _part1by1_col(i.bitwiseAND(F.lit((1 << low) - 1))).bitwiseOR(
+        F.shiftleft(_part1by1_col(j), 1)
+    )
+    morton = top.bitwiseOR(body)
+    return F.shiftleft(F.lit(int(level)).cast("long"), 58).bitwiseOR(morton)
+
+
+def cell_encode_col(lat: Column, lon: Column, level: int) -> Column:
+    i, j = latlon_to_ij_cols(lat, lon, level)
+    return cell_id_from_ij_cols(i, j, level)
+
+
+def geocode_cols(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """C1: lat/lon from the first kind='geo' span's media_ref
+    (``geo:{lat},{lon}``) — higher-order functions, fully JVM-side,
+    spans column untouched (span-sequence invariant)."""
+    geo_ref = F.element_at(
+        F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("geo")), 1
+    )["media_ref"]
+    payload = F.substring_index(geo_ref, ":", -1)
+    return df.withColumn(
+        "lat", F.split(payload, ",")[0].cast("double")
+    ).withColumn("lon", F.split(payload, ",")[1].cast("double"))
+
+
+def with_cell_and_tile(
+    df: DataFrame, level: int, tile_size: int, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """C2 + C6 in one JVM-only pass: cell_id, tile_x, tile_y, ti, tj."""
+    i, j = latlon_to_ij_cols(F.col(lat), F.col(lon), level)
+    return (
+        df.withColumn("_i", i)
+        .withColumn("_j", j)
+        .withColumn("cell_id", cell_id_from_ij_cols(F.col("_i"), F.col("_j"), level))
+        .withColumn("tile_x", (F.col("_i") / tile_size).cast("int"))
+        .withColumn("tile_y", (F.col("_j") / tile_size).cast("int"))
+        .withColumn("ti", (F.col("_i") % tile_size).cast("int"))
+        .withColumn("tj", (F.col("_j") % tile_size).cast("int"))
+        .drop("_i", "_j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF variants (Arrow-batched NumPy; shared grid implementation)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def cell_encode_pudf(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
+    out = np.empty(len(lat), np.int64)
+    for lv in level.unique():
+        sel = (level == lv).to_numpy()
+        out[sel] = grid.cell_encode(
+            lat.to_numpy()[sel], lon.to_numpy()[sel], int(lv)
+        )
+    return pd.Series(out)
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_DECODE_SCHEMA)
+def cell_decode_pudf(cell_id: pd.Series) -> pd.DataFrame:
+    lat, lon, i, j, level = grid.cell_decode(cell_id.to_numpy())
+    return pd.DataFrame(
+        {"lat": lat, "lon": lon, "i": i, "j": j, "level": level.astype(np.int32)}
+    )
+
+
+@pandas_udf(T.LongType())
+def cell_parent_pudf(cell_id: pd.Series, parent_level: pd.Series) -> pd.Series:
+    cid = cell_id.to_numpy()
+    out = np.empty(len(cid), np.int64)
+    for lv in parent_level.unique():
+        sel = (parent_level == lv).to_numpy()
+        out[sel] = grid.cell_parent(cid[sel], int(lv))
+    return pd.Series(out)
+
+
+def k_ring_pudf(k: int):
+    """Factory: pandas UDF cell_id -> array<long> of the k-ring."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _k_ring(cell_id: pd.Series) -> pd.Series:
+        rings = grid.k_ring_batch(cell_id.to_numpy(), k)
+        return pd.Series([r.tolist() for r in rings])
+
+    return _k_ring
+
+
+@pandas_udf(T.DoubleType())
+def haversine_pudf(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        grid.haversine_km(
+            lat1.to_numpy(), lon1.to_numpy(), lat2.to_numpy(), lon2.to_numpy()
+        )
+    )
+
+
+def haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine as a pure Catalyst expression (JVM, codegen) — same
+    formula/constants as grid.haversine_km (R=6371.0088, f64)."""
+    la1, lo1, la2, lo2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
+    h = F.pow(F.sin((la2 - la1) / 2), 2) + F.cos(la1) * F.cos(la2) * F.pow(
+        F.sin((lo2 - lo1) / 2), 2
+    )
+    h = F.least(F.lit(1.0), F.greatest(F.lit(0.0), h))
+    return F.lit(2.0 * grid.EARTH_RADIUS_KM) * F.asin(F.sqrt(h))

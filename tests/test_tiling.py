@@ -1,0 +1,151 @@
+"""t3/t4 Spark tests for rasterize + halo exchange + focal apply:
+results must equal the single-array NumPy kernels (themselves golden-
+tested against brute force) regardless of tile size — halo seams and
+wrap handled correctly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import fixtures, grid, kernels, tiling, udfs
+
+
+def tiles_df(spark, arr, T, level=10, band="class"):
+    rows = fixtures.tiles_rows_from_array(arr, T, level, band)
+    rows["data"] = rows["data"].map(list)
+    return spark.createDataFrame(rows)
+
+
+def collect_band(df, band, T):
+    pdf = df.filter(F.col("band") == band).toPandas()
+    return fixtures.array_from_tiles_rows(pdf, T)
+
+
+@pytest.mark.parametrize("T", [16, 32])
+@pytest.mark.parametrize("shape,r", [("square", 3), ("circle", 7)])
+def test_focal_matches_full_array(spark, T, shape, r):
+    arr = fixtures.raster_fixture()
+    out = tiling.apply_focal(
+        tiles_df(spark, arr, T), r, shape, ["mean", "count"], T, level=10
+    )
+    got_mean = collect_band(out, "mean", T)
+    got_count = collect_band(out, "count", T)
+    np.testing.assert_allclose(got_mean, kernels.focal_mean(arr, r, shape), rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(got_count, kernels.focal_count(arr, r, shape))
+
+
+def test_tile_size_invariance(spark):
+    """t4: identical results for T ∈ {8, 16, 64} (seam correctness)."""
+    arr = fixtures.raster_fixture(seed=5)
+    ref = None
+    for T in (8, 16, 64):
+        out = tiling.apply_focal(tiles_df(spark, arr, T), 3, "circle", ["shannon"], T, level=10)
+        got = collect_band(out, "shannon", T)
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(ref, kernels.focal_shannon(arr, 3, "circle"), rtol=1e-12, atol=1e-12)
+
+
+def test_focal_multi_stat_single_exchange(spark):
+    arr = fixtures.raster_fixture(seed=9)
+    T = 16
+    stats = ["mean", "min", "max", "richness", "majority", "edge_density"]
+    out = tiling.apply_focal(tiles_df(spark, arr, T), 2, "square", stats, T, level=10)
+    for s in stats:
+        got = collect_band(out, s, T)
+        want = tiling.KERNELS[s](arr, 2, "square")
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_wrap_lon_seam(spark):
+    """wrap=True: window crossing the x seam sees the far side's cells."""
+    arr = fixtures.raster_fixture(seed=11, wrap=True)
+    T, r = 16, 3
+    nx = arr.shape[1] // T
+    out = tiling.apply_focal(
+        tiles_df(spark, arr, T), r, "square", ["mean"], T, level=10, wrap_nx=nx
+    )
+    got = collect_band(out, "mean", T)
+    # reference: pad the array by horizontal wrap then compute
+    wrapped = np.concatenate([arr[:, -r:], arr, arr[:, :r]], axis=1)
+    want = kernels.focal_mean(wrapped, r, "square")[:, r:-r]
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # and differs from the non-wrapped result at the seam
+    plain = collect_band(
+        tiling.apply_focal(tiles_df(spark, arr, T), r, "square", ["mean"], T, level=10),
+        "mean", T,
+    )
+    assert not np.allclose(np.nan_to_num(plain[:, 0]), np.nan_to_num(got[:, 0]))
+
+
+def brute_rasterize_count(pdf, level, T):
+    ids = grid.cell_encode(pdf.lat.to_numpy(), pdf.lon.to_numpy(), level)
+    tx, ty, ti, tj = grid.cell_to_tile(ids, T)
+    out = {}
+    for a, b, c, d in zip(tx, ty, ti, tj):
+        key = (a, b)
+        g = out.setdefault(key, np.zeros((T, T)))
+        g[d, c] += 1
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["agg", "salted"])
+def test_rasterize_matches_brute(spark, strategy):
+    level, T = 8, 16
+    docs = fixtures.documents_geo(spark, 2000, seed=42)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count", strategy=strategy, n_salts=4)
+    got = {
+        (r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64).reshape(T, T)
+        for r in tiles.collect()
+    }
+    pts_pdf = pts.select("lat", "lon").toPandas()
+    want = brute_rasterize_count(pts_pdf, level, T)
+    assert set(got) == set(want)
+    for k in want:
+        g = got[k]
+        w = want[k].copy()
+        w[w == 0] = np.nan
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        np.testing.assert_array_equal(g[~np.isnan(g)], w[~np.isnan(w)])
+
+
+def test_rasterize_strategies_agree_and_spans_survive(spark):
+    """t4 salted == unsalted; and the points df still carries spans
+    untouched through encode (span invariant on the operator chain)."""
+    level, T = 8, 16
+    docs = fixtures.documents_geo(spark, 1000, seed=1)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    # span invariant: encode did not touch spans
+    orig = {r.doc_id: r.spans for r in docs.collect()}
+    after = {r.doc_id: r.spans for r in pts.collect()}
+    assert orig == after
+    a = tiling.rasterize(pts, T, level, strategy="agg").collect()
+    b = tiling.rasterize(pts, T, level, strategy="salted", n_salts=3).collect()
+    ka = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in a}
+    kb = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in b}
+    assert set(ka) == set(kb)
+    for k in ka:
+        np.testing.assert_array_equal(
+            np.nan_to_num(ka[k], nan=-1), np.nan_to_num(kb[k], nan=-1)
+        )
+
+
+def test_flagship_end_to_end(spark):
+    """M1: documents → geocode → cell/tile encode → rasterize → circular
+    r=7 focal mean of document density. The full hot path."""
+    level, T = 9, 32
+    docs = fixtures.documents_geo(spark, 5000, seed=42)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = tiling.apply_focal(tiles, 7, "circle", ["mean"], T, level=level,
+                             wrap_nx=(2 ** level) // T)
+    res = out.collect()
+    assert len(res) > 0
+    total_pts = sum(np.nansum(np.asarray(r.data, dtype=np.float64)) for r in tiles.collect())
+    assert total_pts == 5000
