@@ -1,0 +1,225 @@
+"""Spatial joins: point-in-polygon (J1+J2) and kNN (J3) — SURVEY.md §2.4.
+
+Physical strategy (scale notes):
+
+- **PIP**: polygon covers are computed driver-side (polygon sets are
+  small relative to points — BASELINE.json:6 "broadcast polygon
+  cell-cover"), exploded to a (cell_id → poly_id) table and BROADCAST,
+  so the points side never shuffles: BroadcastHashJoin + a pipelined
+  ``mapInPandas`` exact refine in the same stage. Zero exchanges over
+  the big table.
+- **kNN**: iterative k-ring expansion with early termination. The
+  QUERY side (small) explodes its ring cells and is broadcast against
+  the cell-keyed points table; per round one shuffle for the top-k
+  rank. A query resolves when its kth distance is ≤ the minimum
+  possible distance to any cell outside the covered ring (plate-carrée
+  margin bound, conservative). Ring radius doubles per round.
+
+Both preserve the input's ``spans`` column untouched (span-sequence
+invariant) — they only ADD columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine import geometry, grid, udfs
+
+KM_PER_DEG = np.pi * grid.EARTH_RADIUS_KM / 180.0
+
+
+def cover_table(
+    spark: SparkSession, polys: list[dict], level: int
+) -> DataFrame:
+    """C7: broadcastable (cell_id, poly_id) cover rows."""
+    rows = []
+    for p in polys:
+        for cid in geometry.polygon_cell_cover(p["ring"], level):
+            rows.append((int(cid), int(p["poly_id"])))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell_id", "poly_id"])
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polys: list[dict],
+    level: int,
+    spark: SparkSession,
+    lat: str = "lat",
+    lon: str = "lon",
+    exact: bool = True,
+) -> DataFrame:
+    """Inner join point→polygon: one output row per (point, containing
+    polygon). Stage 1 broadcast cover filter, stage 2 exact vectorized
+    ray-cast refine (pipelined, no extra shuffle)."""
+    cover = cover_table(spark, polys, level)
+    cand = points.withColumn(
+        "_pipcell", udfs.cell_encode_col(F.col(lat), F.col(lon), level)
+    ).join(
+        F.broadcast(cover), F.col("_pipcell") == cover.cell_id, "inner"
+    ).drop("cell_id", "_pipcell")
+    if not exact:
+        return cand
+    rings = {int(p["poly_id"]): p["ring"] for p in polys}
+    out_schema = cand.schema
+
+    def refine(it):
+        for pdf in it:
+            if pdf.empty:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            la = pdf[lat].to_numpy(dtype=np.float64)
+            lo = pdf[lon].to_numpy(dtype=np.float64)
+            pid = pdf["poly_id"].to_numpy()
+            for p, ring in rings.items():
+                sel = pid == p
+                if sel.any():
+                    keep[sel] = geometry.point_in_polygon(la[sel], lo[sel], ring)
+            yield pdf[keep]
+
+    return cand.mapInPandas(refine, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# J3: kNN join
+# ---------------------------------------------------------------------------
+
+def _ring_margin_km(q_lat: np.ndarray, q_lon: np.ndarray, r: int, level: int) -> np.ndarray:
+    """Conservative lower bound on the distance from each query point to
+    any point OUTSIDE its Chebyshev-r cell ring (plate carrée)."""
+    nc, nr = grid.grid_shape(level)
+    dlon = 360.0 / nc
+    dlat = 180.0 / nr
+    i = np.floor((q_lon + 180.0) / dlon)
+    j = np.floor((q_lat + 90.0) / dlat)
+    # covered lat span: [ (j-r)*dlat - 90, (j+1+r)*dlat - 90 ]
+    lat_lo = (j - r) * dlat - 90.0
+    lat_hi = (j + 1 + r) * dlat - 90.0
+    lat_margin = np.minimum(q_lat - lat_lo, lat_hi - q_lat)
+    lon_lo = (i - r) * dlon - 180.0
+    lon_hi = (i + 1 + r) * dlon - 180.0
+    lon_margin = np.minimum(q_lon - lon_lo, lon_hi - q_lon)
+    # poles: if the covered lat range exceeds the globe, only lon
+    # matters; if the lon range wraps fully, only lat matters.
+    lat_margin = np.where((lat_lo <= -90.0) & (lat_hi >= 90.0), np.inf, lat_margin)
+    lon_margin = np.where((lon_hi - lon_lo) >= 360.0, np.inf, lon_margin)
+    # exact lower bounds: along a meridian for lat; cross-track distance
+    # to the boundary meridian for lon (R·asin(sin Δλ · cos φ))
+    lat_km = lat_margin * KM_PER_DEG
+    dl = np.radians(np.clip(lon_margin, 0.0, 90.0))
+    lon_km = grid.EARTH_RADIUS_KM * np.arcsin(
+        np.clip(np.sin(dl) * np.cos(np.radians(q_lat)), 0.0, 1.0)
+    )
+    lon_km = np.where(np.isinf(lon_margin), np.inf, lon_km)
+    return np.minimum(lat_km, lon_km)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    level: int,
+    spark: SparkSession,
+    max_rounds: int = 8,
+    point_id: str = "doc_id",
+) -> DataFrame:
+    """For each query row (q_id, lat, lon): the k nearest point rows by
+    haversine, ties broken by (distance, point_id) (§5.3.7).
+
+    Driver-side iterative planning: ring radius r doubles each round;
+    resolved queries (kth distance ≤ out-of-ring margin bound) drop out.
+    Returns (q_id, rank, <point_id>, dist_km).
+    """
+    pts = points.select(
+        point_id,
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    ).withColumn("cell_id", udfs.cell_encode_col(F.col("p_lat"), F.col("p_lon"), level))
+    pts.persist()
+    q_pdf = queries.select("q_id", "lat", "lon").toPandas()
+    unresolved = q_pdf
+    results: list[pd.DataFrame] = []
+    r = 1
+    for _ in range(max_rounds):
+        if unresolved.empty:
+            break
+        rings = grid.k_ring_batch(
+            grid.cell_encode(
+                unresolved.lat.to_numpy(), unresolved.lon.to_numpy(), level
+            ),
+            r,
+        )
+        ring_rows = pd.DataFrame(
+            {
+                "q_id": np.repeat(
+                    unresolved.q_id.to_numpy(), [len(x) for x in rings]
+                ),
+                "cell_id": np.concatenate(rings) if rings else np.empty(0, np.int64),
+            }
+        )
+        qcells = spark.createDataFrame(ring_rows)
+        qmeta = spark.createDataFrame(unresolved)
+        cand = (
+            pts.join(F.broadcast(qcells), "cell_id", "inner")
+            .join(F.broadcast(qmeta), "q_id", "inner")
+            .withColumn(
+                "dist_km",
+                udfs.haversine_col(
+                    F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")
+                ),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("dist_km"), F.col(point_id))
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", point_id, "dist_km")
+            .toPandas()
+        )
+        if not topk.empty:
+            kth = topk.groupby("q_id").agg(
+                kth_dist=("dist_km", "max"), n=("rank", "max")
+            )
+            merged = unresolved.merge(kth, on="q_id", how="left")
+        else:
+            merged = unresolved.assign(kth_dist=np.nan, n=0)
+        margin = _ring_margin_km(
+            merged.lat.to_numpy(), merged.lon.to_numpy(), r, level
+        )
+        done = (
+            (merged["n"].fillna(0).to_numpy() >= k)
+            & (merged["kth_dist"].fillna(np.inf).to_numpy() <= margin)
+        )
+        done_ids = set(merged.q_id.to_numpy()[done])
+        if done_ids:
+            results.append(topk[topk.q_id.isin(done_ids)])
+        unresolved = merged.loc[~done, ["q_id", "lat", "lon"]]
+        r *= 2
+    if not unresolved.empty:
+        # fallback: exhaustive for stragglers (tiny by now)
+        qmeta = spark.createDataFrame(unresolved)
+        cand = pts.crossJoin(F.broadcast(qmeta)).withColumn(
+            "dist_km",
+            udfs.haversine_col(F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("dist_km"), F.col(point_id))
+        results.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", point_id, "dist_km")
+            .toPandas()
+        )
+    pts.unpersist()
+    out = (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame(columns=["q_id", "rank", point_id, "dist_km"])
+    )
+    return spark.createDataFrame(
+        out, f"q_id long, rank int, {point_id} string, dist_km double"
+    )

@@ -1,0 +1,146 @@
+"""t3 goldens for PIP + kNN joins: brute-force scalar re-implementation
+of the §5.3.6/§5.3.7 pinned semantics, independent of the vectorized
+engine code."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine import fixtures, geometry, grid, joins
+
+
+# --- independent scalar PIP (boundary=inside, +lon ray, upper-endpoint) ---
+
+def scalar_pip(lat, lon, ring):
+    rlat = [p["lat"] for p in ring]
+    rlon = [p["lon"] for p in ring]
+    lo_min = min(rlon)
+    lon = lo_min + ((lon - lo_min) % 360.0)
+    inside = False
+    for k in range(len(ring) - 1):
+        la1, lo1, la2, lo2 = rlat[k], rlon[k], rlat[k + 1], rlon[k + 1]
+        # on-segment?
+        cross = (lo2 - lo1) * (lat - la1) - (la2 - la1) * (lon - lo1)
+        if abs(cross) <= 1e-12 * max(1.0, math.hypot(lo2 - lo1, la2 - la1)):
+            if (
+                min(la1, la2) - 1e-12 <= lat <= max(la1, la2) + 1e-12
+                and min(lo1, lo2) - 1e-12 <= lon <= max(lo1, lo2) + 1e-12
+            ):
+                return True
+        if (la1 > lat) != (la2 > lat):
+            lon_x = lo1 + (lat - la1) / (la2 - la1) * (lo2 - lo1)
+            if lon < lon_x:
+                inside = not inside
+    return inside
+
+
+def scalar_knn(q_lat, q_lon, pts, k):
+    ds = sorted(
+        (grid.haversine_km(q_lat, q_lon, la, lo), did)
+        for did, la, lo in pts
+    )
+    return ds[:k]
+
+
+def test_pip_vectorized_matches_scalar():
+    polys = fixtures.polygons()
+    qp = fixtures.query_points(500)
+    for p in polys:
+        got = geometry.point_in_polygon(qp.lat.to_numpy(), qp.lon.to_numpy(), p["ring"])
+        want = np.array(
+            [scalar_pip(la, lo, p["ring"]) for la, lo in zip(qp.lat, qp.lon)]
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"poly {p['poly_id']}")
+
+
+def test_pip_boundary_cases():
+    p1 = fixtures.polygons()[0]["ring"]  # rect lat[-5,8], lon[-60,-45]
+    # on edge / on vertex / inside / outside
+    assert geometry.point_in_polygon([-5.0], [-50.0], p1)[0]  # edge
+    assert geometry.point_in_polygon([-5.0], [-60.0], p1)[0]  # vertex
+    assert geometry.point_in_polygon([0.0], [-50.0], p1)[0]  # interior
+    assert not geometry.point_in_polygon([9.0], [-50.0], p1)[0]
+    assert not geometry.point_in_polygon([-5.0001], [-50.0], p1)[0]
+
+
+def test_pip_antimeridian():
+    p3 = fixtures.polygons()[2]["ring"]  # lat[-20,-8], lon[172,188]
+    assert geometry.point_in_polygon([-15.0], [178.0], p3)[0]
+    assert geometry.point_in_polygon([-15.0], [-175.0], p3)[0]  # wrapped side
+    assert not geometry.point_in_polygon([-15.0], [160.0], p3)[0]
+    assert not geometry.point_in_polygon([-15.0], [-160.0], p3)[0]
+
+
+def test_cover_superset():
+    """Every point inside a polygon must encode to a cover cell."""
+    level = 7
+    polys = fixtures.polygons()
+    qp = fixtures.query_points(800)
+    for p in polys:
+        cover = set(geometry.polygon_cell_cover(p["ring"], level).tolist())
+        mask = geometry.point_in_polygon(qp.lat.to_numpy(), qp.lon.to_numpy(), p["ring"])
+        ids = grid.cell_encode(qp.lat.to_numpy()[mask], qp.lon.to_numpy()[mask], level)
+        assert set(ids.tolist()) <= cover
+
+
+def test_pip_join_spark(spark):
+    level = 7
+    polys = fixtures.polygons()
+    qp = fixtures.query_points(600)
+    pts = spark.createDataFrame(qp)
+    out = joins.pip_join(pts, polys, level, spark).toPandas()
+    got = set(zip(out.q_id, out.poly_id))
+    want = set()
+    for p in polys:
+        for _, row in qp.iterrows():
+            if scalar_pip(row.lat, row.lon, p["ring"]):
+                want.add((row.q_id, p["poly_id"]))
+    assert got == want
+    assert len(want) > 50  # fixture guarantees lots of hits
+
+
+def test_pip_join_keeps_spans(spark):
+    """Span-sequence invariant through the PIP join."""
+    from engine import udfs
+
+    level = 7
+    docs = fixtures.documents_geo(spark, 400, seed=3)
+    pts = udfs.geocode_cols(docs)
+    polys = [
+        {"poly_id": 9, "ring": [
+            {"lat": -60.0, "lon": -180.0}, {"lat": -60.0, "lon": 179.9999},
+            {"lat": 60.0, "lon": 179.9999}, {"lat": 60.0, "lon": -180.0},
+            {"lat": -60.0, "lon": -180.0},
+        ]}
+    ]
+    out = joins.pip_join(pts, polys, level, spark)
+    res = {r.doc_id: r.spans for r in out.collect()}
+    orig = {r.doc_id: r.spans for r in docs.collect()}
+    assert len(res) > 300  # near-global polygon catches almost all
+    for did, spans in res.items():
+        assert spans == orig[did]
+
+
+def test_knn_join_matches_bruteforce(spark):
+    level, k = 8, 5
+    docs = fixtures.documents_geo(spark, 3000, seed=42)
+    from engine import udfs
+
+    pts = udfs.geocode_cols(docs).select("doc_id", "lat", "lon")
+    qp = fixtures.query_points(40, seed=7)
+    queries = spark.createDataFrame(qp)
+    out = joins.knn_join(queries, pts, k, level, spark).toPandas()
+    pts_pdf = pts.toPandas()
+    plist = list(zip(pts_pdf.doc_id, pts_pdf.lat, pts_pdf.lon))
+    for _, q in qp.iterrows():
+        want = scalar_knn(q.lat, q.lon, plist, k)
+        got = out[out.q_id == q.q_id].sort_values("rank")
+        assert len(got) == k, f"q{q.q_id}: got {len(got)} rows"
+        np.testing.assert_allclose(
+            got.dist_km.to_numpy(), [d for d, _ in want], rtol=1e-9
+        )
+        assert got.doc_id.tolist() == [d for _, d in want], f"q{q.q_id}"
