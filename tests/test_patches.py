@@ -1,0 +1,200 @@
+"""t3 goldens for W11–W14: global brute-force CCL (BFS) + explicit
+per-window patch enumeration with the paper's fractional edge
+correction — validates both the distributed stitching AND the focal
+algebra reduction."""
+
+from __future__ import annotations
+
+import math
+from collections import deque
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import fixtures, kernels, patches, tiling
+
+
+# --- independent global CCL via BFS -----------------------------------------
+
+def brute_ccl(arr):
+    H, W = arr.shape
+    lab = np.full((H, W), -1, dtype=np.int64)
+    nxt = 0
+    for y in range(H):
+        for x in range(W):
+            if not np.isfinite(arr[y, x]) or lab[y, x] >= 0:
+                continue
+            q = deque([(y, x)])
+            lab[y, x] = nxt
+            while q:
+                cy, cx = q.popleft()
+                for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    ny, nx_ = cy + dy, cx + dx
+                    if (
+                        0 <= ny < H and 0 <= nx_ < W
+                        and lab[ny, nx_] < 0
+                        and np.isfinite(arr[ny, nx_])
+                        and arr[ny, nx_] == arr[cy, cx]
+                    ):
+                        lab[ny, nx_] = nxt
+                        q.append((ny, nx_))
+            nxt += 1
+    return lab, nxt
+
+
+def brute_patch_table(arr, lab, n):
+    area = np.zeros(n, dtype=np.int64)
+    perim = np.zeros(n, dtype=np.int64)
+    klass = np.zeros(n)
+    H, W = arr.shape
+    for y in range(H):
+        for x in range(W):
+            p = lab[y, x]
+            if p < 0:
+                continue
+            area[p] += 1
+            klass[p] = arr[y, x]
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                ny, nx_ = y + dy, x + dx
+                if (
+                    not (0 <= ny < H and 0 <= nx_ < W)
+                    or not np.isfinite(arr[ny, nx_])
+                    or arr[ny, nx_] != arr[y, x]
+                ):
+                    perim[p] += 1
+    return area, perim, klass
+
+
+def window_members(shape, r):
+    return [
+        (dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+        if shape == "square" or dy * dy + dx * dx <= r * r
+    ]
+
+
+def brute_patch_stats(arr, lab, area, perim, r, shape):
+    """Explicit edge-corrected enumeration: for every output cell, find
+    patches intersecting W, weight by in-window fraction."""
+    H, W = arr.shape
+    mem = window_members(shape, r)
+    mps = np.full((H, W), np.nan)
+    pdens = np.full((H, W), np.nan)
+    awmsi = np.full((H, W), np.nan)
+    si = 0.25 * perim / np.sqrt(area)
+    for y in range(H):
+        for x in range(W):
+            counts = {}
+            nvalid = 0
+            for dy, dx in mem:
+                ny, nx_ = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx_ < W and lab[ny, nx_] >= 0:
+                    counts[lab[ny, nx_]] = counts.get(lab[ny, nx_], 0) + 1
+                    nvalid += 1
+            if not counts:
+                continue
+            sw = sum(n_p / area[p] for p, n_p in counts.items())
+            saw = sum((n_p / area[p]) * area[p] for p, n_p in counts.items())
+            mps[y, x] = saw / sw
+            pdens[y, x] = sw / nvalid
+            awmsi[y, x] = sum(n_p * si[p] for p, n_p in counts.items()) / nvalid
+    return mps, pdens, awmsi
+
+
+@pytest.fixture(scope="module")
+def raster():
+    return fixtures.raster_fixture(seed=42)
+
+
+@pytest.fixture(scope="module")
+def brute(raster):
+    lab, n = brute_ccl(raster)
+    area, perim, klass = brute_patch_table(raster, lab, n)
+    return lab, n, area, perim, klass
+
+
+def tiles_df(spark, arr, T):
+    rows = fixtures.tiles_rows_from_array(arr, T, level=0, band="class")
+    rows["data"] = rows["data"].map(list)
+    return spark.createDataFrame(rows)
+
+
+def test_label_tile_matches_bfs():
+    arr = fixtures.raster_fixture(seed=1)
+    lab, n = patches.label_tile(arr)
+    blab, bn = brute_ccl(arr)
+    assert n == bn
+    # same partition: labels agree up to renaming
+    mapping = {}
+    for a, b in zip(lab.ravel(), blab.ravel()):
+        if a < 0:
+            assert b < 0
+            continue
+        assert mapping.setdefault(a, b) == b
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_build_patches_matches_global(spark, raster, brute, force_distributed):
+    lab, n, area, perim, klass = brute
+    T = 16
+    label_tiles, patch_table = patches.build_patches(
+        tiles_df(spark, raster, T), T, spark, force_distributed=force_distributed
+    )
+    pt = patch_table.toPandas()
+    assert len(pt) == n, f"patch count {len(pt)} != {n}"
+    got_lab = fixtures.array_from_tiles_rows(
+        label_tiles.toPandas(), T
+    )
+    # labels agree up to renaming; per-patch attrs match
+    mapping = {}
+    for a, b in zip(got_lab.ravel(), lab.ravel()):
+        if b < 0:
+            assert not np.isfinite(a)
+            continue
+        assert mapping.setdefault(int(a), b) == b
+    by_id = pt.set_index("patch_id")
+    for gid, bid in mapping.items():
+        row = by_id.loc[gid]
+        assert row.area == area[bid], f"area mismatch patch {gid}"
+        assert row.perimeter == perim[bid], f"perimeter mismatch patch {gid}"
+        assert row.klass == klass[bid]
+    # fixture sanity: patches DO cross tile borders
+    crossing = 0
+    for bid in range(n):
+        ys, xs = np.where(lab == bid)
+        if len(set(ys // T)) > 1 or len(set(xs // T)) > 1:
+            crossing += 1
+    assert crossing >= 3
+
+
+@pytest.mark.parametrize("shape,r", [("square", 3), ("circle", 7)])
+def test_patch_stats_edge_corrected(spark, raster, brute, shape, r):
+    lab, n, area, perim, klass = brute
+    T = 16
+    out = patches.apply_patch_stats(
+        tiles_df(spark, raster, T), T, r, shape, spark
+    )
+    pdf = out.toPandas()
+    want_mps, want_pd, want_aw = brute_patch_stats(raster, lab, area, perim, r, shape)
+    for band, want in (
+        ("mean_patch_size", want_mps),
+        ("patch_density", want_pd),
+        ("awmsi", want_aw),
+    ):
+        got = fixtures.array_from_tiles_rows(pdf[pdf.band == band], T)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12, err_msg=band)
+
+
+def test_patch_stats_tile_size_invariance(spark, raster):
+    ref = None
+    for T in (8, 32):
+        out = patches.apply_patch_stats(
+            tiles_df(spark, raster, T), T, 3, "square", spark, stats=["mean_patch_size"]
+        ).toPandas()
+        got = fixtures.array_from_tiles_rows(out, T)
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
