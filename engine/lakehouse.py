@@ -1,0 +1,249 @@
+"""Iceberg-style lakehouse semantics over plain parquet (S2–S4,
+SURVEY.md §2.1/§3.3). No Iceberg jars exist in this environment — the
+north rule needs the *semantics*: snapshot isolation, atomic commit,
+per-partition lineage + row-count metrics, idempotent resume.
+
+Layout per table:
+
+    <root>/<name>/data/<stage_key>/<part_col>=<v>/*.parquet
+    <root>/<name>/_manifests/wal/<stage_key>/<part>.json   (per-partition WAL)
+    <root>/<name>/_manifests/snapshot-<id>.json            (immutable)
+    <root>/<name>/_manifests/LATEST                        (atomic pointer)
+
+Commit protocol (crash-safe at every step):
+1. pending partitions = stage partitions minus verified WAL entries
+   (a WAL entry is trusted only if its files' parquet-footer row count
+   still matches — the cheap verification of SURVEY.md §3.3);
+2. ONE Spark job writes all pending partitions under a fresh tmp dir
+   (``partitionBy`` layout); a crash here leaves only garbage in tmp;
+3. each partition dir is atomically renamed into ``data/`` and its WAL
+   entry (row count, checksum, lineage, files) written via
+   tmp-then-``os.replace`` — crash between partitions resumes cleanly;
+4. when every partition has a WAL entry, the snapshot JSON (listing all
+   partitions) is written atomically and LATEST is flipped — readers
+   never observe a partial stage.
+
+Checksums are order-insensitive exact sums of per-row xxhash64 values
+(DECIMAL(38) aggregation — no overflow at any row count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def parquet_row_count(files: list[str]) -> int:
+    """Footer-only row count (no data read)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+class LakeTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.manifest_dir = os.path.join(self.dir, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.manifest_dir, "wal"), exist_ok=True)
+
+    # -- snapshots ---------------------------------------------------------
+
+    def latest_snapshot_id(self) -> int | None:
+        p = os.path.join(self.manifest_dir, "LATEST")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+        if sid is None:
+            return None
+        p = os.path.join(self.manifest_dir, f"snapshot-{sid}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    # -- read (S2/S3) --------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Manifest-driven scan: only files listed in the (pinned)
+        snapshot are read; the partition column is recovered from the
+        directory layout."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot for table {self.dir}")
+        dirs = [p["path"] for p in snap["partitions"]]
+        return (
+            spark.read.option("basePath", os.path.join(self.data_dir, snap["stage_key"]))
+            .parquet(*dirs)
+        )
+
+    # -- WAL ----------------------------------------------------------------
+
+    def _wal_dir(self, stage_key: str) -> str:
+        d = os.path.join(self.manifest_dir, "wal", stage_key)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def wal_entries(self, stage_key: str, verify: bool = True) -> dict[str, dict]:
+        """Committed-partition WAL, dropping entries whose data files no
+        longer verify (footer row count mismatch / missing)."""
+        out: dict[str, dict] = {}
+        d = self._wal_dir(stage_key)
+        for f in os.listdir(d):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                e = json.load(fh)
+            if verify:
+                try:
+                    if parquet_row_count(e["files"]) != e["row_count"]:
+                        continue
+                except (OSError, ValueError):
+                    continue
+            out[str(e["part"])] = e
+        return out
+
+    # -- commit (S4) ----------------------------------------------------------
+
+    def write_stage(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_col: str,
+        stage_key: str,
+        lineage: dict | None = None,
+        code_version: str = "v1",
+    ) -> dict:
+        """Commit `df` as a new snapshot, resuming from any previously
+        WAL-committed partitions of the same stage_key. Returns the
+        snapshot dict. `df` MUST be deterministic per partition (the
+        resume contract)."""
+        stats_rows = (
+            df.groupBy(partition_col)
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(
+                    F.xxhash64(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+        expected = {
+            str(r[partition_col]): {
+                "row_count": r["row_count"],
+                "checksum": str(r["checksum"]),
+            }
+            for r in stats_rows
+        }
+        done = self.wal_entries(stage_key)
+        done = {
+            p: e
+            for p, e in done.items()
+            if p in expected and e["row_count"] == expected[p]["row_count"]
+        }
+        pending = sorted(set(expected) - set(done))
+        stage_data = os.path.join(self.data_dir, stage_key)
+        skipped = len(done)
+        if pending:
+            tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+            (
+                df.filter(F.col(partition_col).cast("string").isin(pending))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+            os.makedirs(stage_data, exist_ok=True)
+            for part in pending:
+                src = os.path.join(tmp, f"{partition_col}={part}")
+                dst = os.path.join(stage_data, f"{partition_col}={part}")
+                if not os.path.isdir(src):
+                    # partition produced no rows — record empty
+                    files: list[str] = []
+                else:
+                    if os.path.isdir(dst):
+                        shutil.rmtree(dst)
+                    os.replace(src, dst)
+                    files = sorted(
+                        os.path.join(dst, f)
+                        for f in os.listdir(dst)
+                        if f.endswith(".parquet")
+                    )
+                entry = {
+                    "part": part,
+                    "path": dst,
+                    "files": files,
+                    "row_count": expected[part]["row_count"],
+                    "checksum": expected[part]["checksum"],
+                    "lineage": {
+                        "inputs": (lineage or {}).get("inputs", []),
+                        "params": (lineage or {}).get("params", {}),
+                        "code_version": code_version,
+                    },
+                    "committed_at": time.time(),
+                }
+                _atomic_write_json(
+                    os.path.join(self._wal_dir(stage_key), f"{part}.json"), entry
+                )
+                done[part] = entry
+            shutil.rmtree(tmp, ignore_errors=True)
+        parent = self.latest_snapshot_id()
+        sid = (parent or 0) + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "stage_key": stage_key,
+            "partition_col": partition_col,
+            "partitions": [done[p] for p in sorted(done)],
+            "total_rows": sum(e["row_count"] for e in done.values()),
+            "skipped_partitions": skipped,
+            "computed_partitions": len(pending),
+            "created_at": time.time(),
+        }
+        _atomic_write_json(
+            os.path.join(self.manifest_dir, f"snapshot-{sid}.json"), snap
+        )
+        _atomic_write_json_pointer = os.path.join(self.manifest_dir, "LATEST")
+        tmp = f"{_atomic_write_json_pointer}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _atomic_write_json_pointer)
+        return snap
+
+    def verify_snapshot(self, snapshot_id: int | None = None) -> dict:
+        """Row-count reconciliation: recount every partition's parquet
+        footers vs the manifest. Returns {part: ok} map."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError("no snapshot")
+        return {
+            e["part"]: parquet_row_count(e["files"]) == e["row_count"]
+            for e in snap["partitions"]
+        }

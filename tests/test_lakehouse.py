@@ -1,0 +1,152 @@
+"""t5 system tests: snapshot/manifest semantics, idempotent resume,
+kill-and-rerun recovery, row-count reconciliation, span invariant
+through the full committed pipeline."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import fixtures
+from engine.lakehouse import LakeTable
+from engine.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture()
+def docs(spark):
+    return fixtures.documents_geo(spark, 600, seed=42, parts=8)
+
+
+def file_state(root):
+    out = {}
+    for p in glob.glob(f"{root}/**/*.parquet", recursive=True):
+        st = os.stat(p)
+        out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_write_read_roundtrip_and_metrics(spark, docs, tmp_path):
+    tbl = LakeTable(str(tmp_path), "documents")
+    snap = tbl.write_stage(spark, docs, "part_id", "ingest", {"inputs": ["gen"]})
+    assert snap["total_rows"] == 600
+    assert snap["computed_partitions"] == 8
+    assert snap["skipped_partitions"] == 0
+    assert all(tbl.verify_snapshot().values())
+    back = tbl.read(spark)
+    assert back.count() == 600
+    # span invariant through commit + manifest-driven scan
+    orig = {r.doc_id: r.spans for r in docs.collect()}
+    got = {r.doc_id: r.spans for r in back.collect()}
+    assert got == orig
+    # lineage recorded per partition
+    for e in snap["partitions"]:
+        assert e["lineage"]["inputs"] == ["gen"]
+        assert e["row_count"] > 0 and e["checksum"] is not None
+
+
+def test_rerun_skips_everything(spark, docs, tmp_path):
+    tbl = LakeTable(str(tmp_path), "documents")
+    tbl.write_stage(spark, docs, "part_id", "ingest")
+    before = file_state(str(tmp_path))
+    snap2 = tbl.write_stage(spark, docs, "part_id", "ingest")
+    after = file_state(str(tmp_path))
+    assert snap2["computed_partitions"] == 0
+    assert snap2["skipped_partitions"] == 8
+    assert before == after  # data files untouched byte-for-byte
+    assert snap2["parent_id"] == 1 and snap2["snapshot_id"] == 2
+
+
+def test_crash_recovery_partial_wal(spark, docs, tmp_path):
+    """Simulate a crash after 5 of 8 partitions: remove 3 WAL entries +
+    their data → rerun recomputes exactly those, results identical."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    snap1 = tbl.write_stage(spark, docs, "part_id", "ingest")
+    ref = {r.doc_id: (r.part_id, r.spans) for r in tbl.read(spark).collect()}
+    # wipe partitions 1, 3, 5 (WAL + data), and LATEST (pre-commit crash)
+    for p in (1, 3, 5):
+        os.remove(f"{tmp_path}/documents/_manifests/wal/ingest/{p}.json")
+        shutil.rmtree(f"{tmp_path}/documents/data/ingest/part_id={p}")
+    os.remove(f"{tmp_path}/documents/_manifests/LATEST")
+    os.remove(f"{tmp_path}/documents/_manifests/snapshot-1.json")
+    snap2 = tbl.write_stage(spark, docs, "part_id", "ingest")
+    assert snap2["computed_partitions"] == 3
+    assert snap2["skipped_partitions"] == 5
+    got = {r.doc_id: (r.part_id, r.spans) for r in tbl.read(spark).collect()}
+    assert got == ref
+
+
+def test_corrupted_partition_recomputed(spark, docs, tmp_path):
+    """A data file whose footer count no longer matches the WAL entry is
+    not trusted — partition recomputed."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    tbl.write_stage(spark, docs, "part_id", "ingest")
+    part_dir = f"{tmp_path}/documents/data/ingest/part_id=2"
+    f = glob.glob(f"{part_dir}/*.parquet")[0]
+    with open(f, "wb") as fh:
+        fh.write(b"corrupt")
+    snap2 = tbl.write_stage(spark, docs, "part_id", "ingest")
+    assert snap2["computed_partitions"] == 1
+    assert all(tbl.verify_snapshot().values())
+    assert tbl.read(spark).count() == 600
+
+
+def test_snapshot_pinning(spark, docs, tmp_path):
+    tbl = LakeTable(str(tmp_path), "documents")
+    s1 = tbl.write_stage(spark, docs, "part_id", "ingest")
+    docs2 = docs.withColumn("part_id", (F.col("part_id") + 1) % 8)
+    s2 = tbl.write_stage(spark, docs2, "part_id", "ingest-v2")
+    # AS OF s1 still reads the original stage files
+    a = tbl.read(spark, s1["snapshot_id"]).count()
+    b = tbl.read(spark, s2["snapshot_id"]).count()
+    assert a == b == 600
+    assert tbl.latest_snapshot_id() == s2["snapshot_id"]
+    assert tbl.snapshot(s2["snapshot_id"])["parent_id"] == s1["snapshot_id"]
+
+
+def test_full_pipeline_resume_idempotent(spark, docs, tmp_path):
+    cfg = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=3)
+    snaps1 = run_pipeline(spark, docs, cfg)
+    state1 = file_state(str(tmp_path))
+    stats1 = LakeTable(str(tmp_path), "stats").read(spark).orderBy(
+        "tile_x", "tile_y", "band"
+    ).collect()
+    snaps2 = run_pipeline(spark, docs, cfg)
+    state2 = file_state(str(tmp_path))
+    for stage in ("ingest", "points", "tiles", "stats"):
+        assert snaps2[stage]["computed_partitions"] == 0, stage
+        assert snaps2[stage]["skipped_partitions"] > 0, stage
+    assert state1 == state2  # byte-identical outputs, nothing rewritten
+    stats2 = LakeTable(str(tmp_path), "stats").read(spark).orderBy(
+        "tile_x", "tile_y", "band"
+    ).collect()
+    assert [str(r) for r in stats1] == [str(r) for r in stats2]
+    # metrics reconcile at every stage
+    for stage in ("documents", "points", "tiles", "stats"):
+        assert all(LakeTable(str(tmp_path), stage).verify_snapshot().values())
+
+
+def test_pipeline_stats_match_direct(spark, docs, tmp_path):
+    """The committed pipeline result == the uncommitted direct dataflow."""
+    from engine import tiling, udfs
+
+    cfg = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=3)
+    run_pipeline(spark, docs, cfg)
+    committed = LakeTable(str(tmp_path), "stats").read(spark).drop("bucket")
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), 8, 16)
+    tiles = tiling.rasterize(pts, 16, 8, stat="count")
+    direct = tiling.apply_focal(
+        tiles, 3, "circle", ["mean"], 16, level=8, wrap_nx=(2**8) // 16
+    )
+    a = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in committed.collect()}
+    b = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in direct.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(
+            np.nan_to_num(a[k], nan=-9), np.nan_to_num(b[k], nan=-9)
+        )
