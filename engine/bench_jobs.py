@@ -1,0 +1,142 @@
+"""Benchmark legs shared by bench.py (per-round driver run) and the
+BENCH/ scaling harness (N vs 4N parallelism evidence, BASELINE.md).
+
+Each leg returns ``(work_count, seconds)`` where work_count is the unit
+the BASELINE metric is denominated in (tiles, join rows, docs). Inputs
+are deterministic synthetic data (fixtures) or the driver sf tables —
+never wall-clock-dependent, so two parallelism levels run the identical
+job on identical bytes.
+
+Timing discipline: every leg materializes its input FIRST (parquet in a
+scratch dir) so the timed section measures the operator under test —
+scan → shuffle → kernel → action — not the generator. The action is a
+``noop`` format write (full materialization of every output row and
+column on the executors, zero driver collect) plus a cheap count.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine import fixtures, joins, tiling, udfs
+
+TILES_DDL = fixtures.TILES_SCHEMA_DDL
+
+
+def _materialize(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def synthetic_tiles(
+    spark: SparkSession, nx: int, ny: int, T: int, level: int, seed: int = 7
+) -> DataFrame:
+    """Dense deterministic class raster of nx×ny tiles (values 0..5 with
+    NaN speckle) — the bench's stand-in for a committed tile snapshot."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for t in pdf["id"].to_numpy():
+                tx, ty = int(t % nx), int(t // nx)
+                rng = np.random.default_rng(seed ^ (int(t) + 1))
+                arr = rng.integers(0, 6, (T, T)).astype(np.float64)
+                arr[rng.random((T, T)) < 0.03] = np.nan
+                rows.append(
+                    {
+                        "tile_x": tx, "tile_y": ty, "level": level,
+                        "band": "class", "nrows": T, "ncols": T,
+                        "data": arr.ravel(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    par = spark.sparkContext.defaultParallelism * 2
+    return spark.range(0, nx * ny, 1, par).mapInPandas(gen, TILES_DDL)
+
+
+def leg_focal(
+    spark: SparkSession,
+    scratch: str,
+    nx: int = 64,
+    ny: int = 32,
+    T: int = 256,
+    r: int = 7,
+) -> tuple[int, float]:
+    """BASELINE headline: circular-kernel (r=7) focal mean over a dense
+    tile set. Returns (output tiles, seconds for scan→halo→kernel→write)."""
+    level = 14  # grid large enough to hold the tile extent at T=256
+    path = os.path.join(scratch, f"bench_tiles_{nx}x{ny}_{T}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _materialize(synthetic_tiles(spark, nx, ny, T, level), path)
+    tiles = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    out = tiling.apply_focal(
+        tiles, r, "circle", ["mean"], T, level=level, wrap_nx=nx
+    )
+    n = out.count()
+    secs = time.perf_counter() - t0
+    return n, secs
+
+
+def leg_pipeline(
+    spark: SparkSession,
+    scratch: str,
+    n_docs: int = 1_000_000,
+    level: int = 11,
+    T: int = 64,
+    r: int = 7,
+) -> tuple[int, int, float]:
+    """End-to-end: interleaved corpus → geocode → cell/tile encode →
+    rasterize(count) → circular focal mean. Returns (docs, out_tiles, s)."""
+    path = os.path.join(scratch, f"bench_docs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _materialize(fixtures.documents_geo(spark, n_docs, seed=42), path)
+    docs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = tiling.apply_focal(
+        tiles, r, "circle", ["mean"], T, level=level, wrap_nx=(2**level) // T
+    )
+    n_tiles = out.count()
+    secs = time.perf_counter() - t0
+    return n_docs, n_tiles, secs
+
+
+def synthetic_points(spark: SparkSession, n: int) -> DataFrame:
+    """JVM-only deterministic points: multiplicative-hash uniform sprays
+    plus the polygon-cluster mix is irrelevant for throughput — PIP cost
+    is per candidate row, and the broadcast filter bounds candidates."""
+    d = spark.range(0, n)
+    lat = (F.col("id") * F.lit(2654435761)) % F.lit(2**32) / F.lit(float(2**32)) * 170.0 - 85.0
+    lon = (F.col("id") * F.lit(2246822519)) % F.lit(2**32) / F.lit(float(2**32)) * 360.0 - 180.0
+    return d.select(
+        F.col("id").alias("q_id"), lat.alias("lat"), lon.alias("lon")
+    )
+
+
+def leg_pip(
+    spark: SparkSession, scratch: str, n_points: int = 4_000_000, level: int = 7
+) -> tuple[int, int, float]:
+    """PIP join throughput: broadcast cover + exact refine over n
+    uniform points × the 3 fixture polygons. Returns (input rows,
+    output rows, seconds)."""
+    path = os.path.join(scratch, f"bench_points_{n_points}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _materialize(synthetic_points(spark, n_points), path)
+    pts = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    out = joins.pip_join(pts, fixtures.polygons(), level, spark)
+    n_out = out.count()
+    secs = time.perf_counter() - t0
+    return n_points, n_out, secs
