@@ -61,13 +61,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from engine.queries import SQL_QUERIES
     from engine.spatial_queries import SPATIAL_QUERIES
+    from engine.text_queries import TEXT_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    out.update({name: fn for name, (fn, _sql) in TEXT_QUERIES.items()})
     out.update(SPATIAL_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from engine.queries import SQL_QUERIES
+    from engine.text_queries import TEXT_QUERIES
 
-    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out.update({name: sql for name, (_fn, sql) in TEXT_QUERIES.items()})
+    return out

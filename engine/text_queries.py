@@ -1,0 +1,520 @@
+"""Training-data pipeline operators over the documents/embeddings
+tables, each value-checked against a DuckDB oracle (driver contract).
+
+Coverage (SURVEY.md §2 "training-data pipeline" family):
+  q16  point-in-polygon join, axis-aligned rects (SQL-checkable PIP —
+       the generic engine path: broadcast cell cover + exact refine)
+  q17  exact near-dup: token-set Jaccard pairs within source
+  q18  MinHash + LSH banding candidate pairs
+  q19  SimHash (16-bit) document signatures
+  q20  winnowing document fingerprints (rolling window-min of hashes)
+  q21  language-ID heuristic (marker-token scoring, pinned tie rule)
+  q22  ANN: IVF cell assignment (seed-vector centroids)
+  q23  ANN: IVF top-k search probing 2 nearest cells
+
+Cross-engine determinism rules (both sides use the SAME formula):
+- token hash h32(t) = int(md5(t)[:8hex], 16) — exact 32-bit integer in
+  both engines (Spark: conv(substr(md5,1,8),16,10); DuckDB: positional
+  hex-digit expansion, no conv equivalent);
+- integer arithmetic end-to-end for signatures (mod 1e9+7 keeps every
+  product < 2^63);
+- float scores (cosine/jaccard) are list-folds in identical order →
+  bitwise-equal doubles, rounded to 6dp for the value hash anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine import shim
+
+_T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
+
+P_MOD = 1_000_000_007
+N_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# DuckDB h32: md5 hex prefix -> integer, digit by digit (no conv())
+_H32_SQL = (
+    "list_sum(list_transform(range(0, 8), i -> "
+    "(strpos('0123456789abcdef', substr(md5({c}), CAST(i + 1 AS INT), 1)) - 1)"
+    " * CAST(16 ** (7 - i) AS BIGINT)))"
+)
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# q16: PIP join against axis-aligned rectangles — the one polygon family
+# a plain-SQL oracle can replicate exactly. Runs the ENGINE's generic
+# path (broadcast cell cover at level 6 + vectorized ray-cast refine).
+# ---------------------------------------------------------------------------
+
+_RECTS = [
+    {"poly_id": 1, "lat0": -5.0, "lat1": 8.0, "lon0": -60.0, "lon1": -45.0},
+    # crosses the antimeridian: stored ring uses lon in (172, 188)
+    {"poly_id": 2, "lat0": -20.0, "lat1": -8.0, "lon0": 172.0, "lon1": 188.0},
+]
+
+
+def _rect_rings() -> list[dict]:
+    out = []
+    for r in _RECTS:
+        ring = [
+            {"lat": r["lat0"], "lon": r["lon0"]},
+            {"lat": r["lat0"], "lon": r["lon1"]},
+            {"lat": r["lat1"], "lon": r["lon1"]},
+            {"lat": r["lat1"], "lon": r["lon0"]},
+            {"lat": r["lat0"], "lon": r["lon0"]},
+        ]
+        out.append({"poly_id": r["poly_id"], "ring": ring})
+    return out
+
+
+def q16_pip_rect(spark: SparkSession, sf: str) -> DataFrame:
+    from engine import joins
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    d = _T(spark, sf, "documents")
+    pts = d.select(
+        "doc_id",
+        shim.shim_lat_col(F.col("doc_id")).alias("lat"),
+        shim.shim_lon_col(F.col("doc_id")).alias("lon"),
+    )
+    hits = joins.pip_join(pts, _rect_rings(), level=6, spark=spark)
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("doc_id").alias("docid_sum"),
+    )
+
+
+Q16_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {shim.SHIM_LAT_SQL} AS lat, {shim.SHIM_LON_SQL} AS lon
+  FROM documents
+)
+SELECT 1 AS poly_id, COUNT(*) AS n_pts, CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+FROM pts WHERE lat BETWEEN -5 AND 8 AND lon BETWEEN -60 AND -45
+UNION ALL
+SELECT 2 AS poly_id, COUNT(*) AS n_pts, CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+FROM pts WHERE lat BETWEEN -20 AND -8 AND (lon >= 172 OR lon <= 188 - 360)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17: exact near-dup — token-set Jaccard pairs within a source
+# ---------------------------------------------------------------------------
+
+def q17_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = _T(spark, sf, "documents").select("doc_id", "source", _toks(F.col("text")).alias("toks"))
+    dt = d.select("source", "doc_id", F.explode("toks").alias("tok")).distinct()
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = dt.alias("a"), dt.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") == F.col("b.source")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+Q17_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT source, doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8 - 1e-12
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18: MinHash (16 fns) + LSH banding (4 bands x 4 rows) candidate pairs
+# ---------------------------------------------------------------------------
+
+def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = _T(spark, sf, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("toks")
+    )
+    dt = d.select(
+        "source", "doc_id", F.explode("toks").alias("tok")
+    ).distinct().withColumn("h", _h32(F.col("tok")) % F.lit(P_MOD))
+    hp = spark.range(N_HASHES).select(
+        F.col("id").alias("hid"),
+        (2 * F.col("id") + 1).alias("a"),
+        (7919 * F.col("id")).alias("b"),
+    )
+    sig = (
+        dt.crossJoin(F.broadcast(hp))
+        .groupBy("source", "doc_id", "hid")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(P_MOD)).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("hid") / BAND_ROWS).cast("int"))
+        .groupBy("source", "doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hid", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+_H32_TOK = _H32_SQL.format(c="tok")
+
+Q18_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT source, doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+dh AS (SELECT source, doc_id, {_H32_TOK} % {P_MOD} AS h FROM dt),
+hp AS (SELECT i AS hid, 2 * i + 1 AS a, 7919 * i AS b FROM range({N_HASHES}) t(i)),
+sig AS (
+  SELECT source, doc_id, hid, MIN((a * h + b) % {P_MOD}) AS mh
+  FROM dh CROSS JOIN hp GROUP BY 1, 2, 3
+),
+bands AS (
+  SELECT source, doc_id, CAST(hid // {BAND_ROWS} AS INT) AS band,
+         string_agg(mh, ',' ORDER BY hid) AS band_key
+  FROM sig GROUP BY 1, 2, 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.source = b.source AND a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19: SimHash — 16-bit signatures from token hashes
+# ---------------------------------------------------------------------------
+
+def q19_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _T(spark, sf, "documents").select("doc_id", _toks(F.col("text")).alias("toks"))
+    dt = d.select("doc_id", F.explode("toks").alias("tok")).distinct().withColumn(
+        "h", _h32(F.col("tok"))
+    )
+    bits = spark.range(16).select(
+        F.col("id").alias("bit"),
+        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("bitpow"),
+    )
+    # shiftright/shiftleft need literal bit counts — use exact integer
+    # arithmetic with a precomputed 2^bit column instead (h < 2^32, so
+    # double->long division is exact)
+    per_bit = (
+        dt.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.when((F.col("h") / F.col("bitpow")).cast("long") % 2 == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit", "bitpow")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        per_bit.withColumn(
+            "bitval", F.when(F.col("s") > 0, F.col("bitpow")).otherwise(F.lit(0).cast("long"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+Q19_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+dh AS (SELECT doc_id, {_H32_TOK} AS h FROM dt),
+pb AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h // CAST(2 ** bit AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM dh CROSS JOIN (SELECT i AS bit FROM range(16) t(i))
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM pb GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20: winnowing fingerprints — window-min of token hashes (w=5)
+# ---------------------------------------------------------------------------
+
+def q20_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _T(spark, sf, "documents").select("doc_id", _toks(F.col("text")).alias("toks"))
+    pt = d.select("doc_id", F.posexplode("toks").alias("pos", "tok")).withColumn(
+        "h", _h32(F.col("tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    fp = pt.withColumn("fp", F.min("h").over(w))
+    return fp.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+
+
+Q20_SQL = f"""
+WITH pt AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len({_TOKS_SQL})),
+                  i -> struct_pack(pos := i, tok := {_TOKS_SQL}[CAST(i + 1 AS INT)]))) AS u
+    FROM documents
+  )
+),
+fp AS (
+  SELECT doc_id,
+         MIN({_H32_TOK}) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM pt
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fp,
+       CAST(MIN(fp) AS BIGINT) AS fp_min, CAST(MAX(fp) AS BIGINT) AS fp_max
+FROM fp GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: language-ID heuristic — marker-token scores, fixed priority tie rule
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "los"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # tie rule: first in this order wins
+
+
+def q21_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = _T(spark, sf, "documents").select("doc_id", "lang", _toks(F.col("text")).alias("toks"))
+    def _marker_count(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        # F.filter inspects the lambda arity — must be a 1-arg closure
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    scores = {lg: _marker_count(m) for lg, m in _MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lg in _LANG_ORDER:
+        pred = pred.when(scores[lg] == best, lg)
+    out = d.withColumn("pred", pred)
+    return out.groupBy(F.col("lang").alias("actual"), "pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _score_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({lst})))"
+
+
+Q21_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         {_score_sql(_MARKERS["en"])} AS s_en,
+         {_score_sql(_MARKERS["de"])} AS s_de,
+         {_score_sql(_MARKERS["fr"])} AS s_fr,
+         {_score_sql(_MARKERS["es"])} AS s_es
+  FROM documents
+)
+SELECT lang AS actual,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred,
+       COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22/q23: IVF approximate nearest neighbor over embeddings
+# ---------------------------------------------------------------------------
+
+def _cos(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (nrm(a) * nrm(b))
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+    " * SQRT(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+)
+
+N_CELLS = 8
+
+
+def _assignments(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    j = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _cos(F.col("embedding"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "embedding", "cos_c")
+    )
+
+
+_ASSIGN_SQL = f"""
+  SELECT vec_id, cell_id, embedding, cos_c FROM (
+    SELECT e.vec_id, c.vec_id AS cell_id, e.embedding,
+           {_COS_SQL.format(a="e.embedding", b="c.embedding")} AS cos_c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a="e.embedding", b="c.embedding")} DESC,
+                                       c.vec_id) AS rn
+    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_CELLS}) c
+  ) WHERE rn = 1
+"""
+
+
+def q22_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    asg = _assignments(spark, sf)
+    return asg.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos_c"), 6).alias("avg_cos"),
+    )
+
+
+Q22_SQL = f"""
+WITH asg AS ({_ASSIGN_SQL})
+SELECT cell_id, COUNT(*) AS n_vecs, ROUND(AVG(cos_c), 6) AS avg_cos
+FROM asg GROUP BY cell_id
+"""
+
+_IVF_QUERIES = [10, 11, 12]
+N_PROBE = 2
+TOP_K = 3
+
+
+def q23_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "embeddings")
+    asg = _assignments(spark, sf).select("vec_id", "cell_id", "embedding")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = e.filter(F.col("vec_id").isin(_IVF_QUERIES)).select(
+        F.col("vec_id").alias("q_vec"), F.col("embedding").alias("q_emb")
+    )
+    # probe list: the N_PROBE centroids nearest to each query
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _cos(F.col("q_emb"), F.col("c_emb"))
+    )
+    wq = Window.partitionBy("q_vec").orderBy(F.col("cos_c").desc(), F.col("cell_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_vec", "q_emb", "cell_id")
+    )
+    cand = probes.join(asg, "cell_id").filter(F.col("q_vec") != F.col("vec_id"))
+    scored = cand.withColumn("cos_sim", _cos(F.col("q_emb"), F.col("embedding")))
+    wr = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_vec", "rank", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+Q23_SQL = f"""
+WITH asg AS ({_ASSIGN_SQL}),
+q AS (SELECT vec_id AS q_vec, embedding AS q_emb FROM embeddings
+      WHERE vec_id IN ({", ".join(map(str, _IVF_QUERIES))})),
+probes AS (
+  SELECT q_vec, q_emb, cell_id FROM (
+    SELECT q.q_vec, q.q_emb, c.vec_id AS cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_vec
+                              ORDER BY {_COS_SQL.format(a="q.q_emb", b="c.embedding")} DESC,
+                                       c.vec_id) AS rn
+    FROM q CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_CELLS}) c
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.q_vec, a.vec_id,
+         {_COS_SQL.format(a="p.q_emb", b="a.embedding")} AS cos_sim
+  FROM probes p JOIN asg a ON a.cell_id = p.cell_id
+  WHERE p.q_vec <> a.vec_id
+)
+SELECT q_vec, rank, vec_id, ROUND(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT q_vec, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_vec ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+"""
+
+
+TEXT_QUERIES = {
+    "q16_pip_rect": (q16_pip_rect, Q16_SQL),
+    "q17_token_jaccard": (q17_token_jaccard, Q17_SQL),
+    "q18_minhash_lsh": (q18_minhash_lsh, Q18_SQL),
+    "q19_simhash": (q19_simhash, Q19_SQL),
+    "q20_winnow_fingerprint": (q20_winnow_fingerprint, Q20_SQL),
+    "q21_langid": (q21_langid, Q21_SQL),
+    "q22_ivf_assign": (q22_ivf_assign, Q22_SQL),
+    "q23_ivf_search": (q23_ivf_search, Q23_SQL),
+}
