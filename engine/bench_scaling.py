@@ -1,0 +1,213 @@
+"""N-vs-4N scaling-efficiency harness (BASELINE.md, M7).
+
+The north rule's two-cluster-size criterion (N and 4N executors,
+efficiency >= 0.8) is evidenced in this single-machine sandbox by
+running the IDENTICAL job at two parallelism levels — ``local[8]`` (N)
+and ``local[32]`` (4N) — on the same materialized input, each level in
+a fresh JVM via ``spark-submit --py-files engine.zip`` (the real
+cluster submit path: workers import the engine package from the zip,
+not from the repo checkout).
+
+Orchestrator (default mode): for each level, REPEATS spark-submit runs
+of the runner below; per-leg medians -> efficiency
+``throughput(4N) / (4 * throughput(N))``; writes ``BENCH/scaling.json``
+(folded into bench.py's JSON line) and the human report
+``BENCH/BASELINE.md``.
+
+Runner mode (``--runner``): builds its session at the requested level,
+executes the shared legs (engine/bench_jobs.py) against the shared
+scratch input, prints one JSON line. Timing starts after the session is
+up, so JVM start-up is excluded — the criterion is about job
+throughput, not cold start.
+
+Usage:  python -m engine.bench_scaling [--repeats 3] [--scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LEVELS = (8, 32)  # N and 4N
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
+
+
+def _scratch() -> str:
+    s = os.environ.get(
+        "SPARK_GRAFT_SCRATCH", os.path.join(tempfile.gettempdir(), "mw_bench")
+    )
+    os.makedirs(s, exist_ok=True)
+    return s
+
+
+def run_legs(cores: int, scale: float, scratch: str) -> dict:
+    from engine import bench_jobs
+    from engine.session import get_spark
+
+    spark = get_spark(f"scaling_{cores}", cores=cores)
+    ny = max(int(48 * scale), 2)
+    n_tiles, s_focal = bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
+    n_pts, n_pip, s_pip = bench_jobs.leg_pip(
+        spark, scratch, n_points=int(16_000_000 * scale)
+    )
+    n_docs, n_ptiles, s_pipe = bench_jobs.leg_pipeline(
+        spark, scratch, n_docs=int(2_000_000 * scale)
+    )
+    return {
+        "cores": cores,
+        "focal": {"tiles": n_tiles, "sec": s_focal, "per_sec": n_tiles / s_focal},
+        "pip": {"rows": n_pip, "sec": s_pip, "per_sec": n_pip / s_pip,
+                "in_rows": n_pts},
+        "pipeline": {"docs": n_docs, "sec": s_pipe, "per_sec": n_docs / s_pipe,
+                     "out_tiles": n_ptiles},
+    }
+
+
+def _submit_one(cores: int, scale: float, scratch: str, zip_path: str) -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        # builder-set driver memory is ignored under spark-submit (JVM is
+        # already up) — it must be on the submit command line
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.abspath(__file__),
+        "--runner", "--cores", str(cores), "--scale", str(scale),
+        "--scratch", scratch,
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=scratch
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"runner(local[{cores}]) produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def _median_leg(runs: list[dict], leg: str) -> dict:
+    per_sec = statistics.median(r[leg]["per_sec"] for r in runs)
+    sec = statistics.median(r[leg]["sec"] for r in runs)
+    out = dict(runs[0][leg])
+    out.update({"per_sec": per_sec, "sec": sec, "n_runs": len(runs)})
+    return out
+
+
+def orchestrate(repeats: int, scale: float) -> dict:
+    from engine.deploy import build_zip
+
+    scratch = _scratch()
+    zip_path = build_zip()
+    # warm the shared inputs once so every timed run reads the same bytes
+    print(f"# materializing shared inputs in {scratch}", file=sys.stderr)
+    _submit_one(LEVELS[0], scale, scratch, zip_path)
+
+    levels: dict[int, dict] = {}
+    for cores in LEVELS:
+        runs = []
+        for i in range(repeats):
+            r = _submit_one(cores, scale, scratch, zip_path)
+            print(f"# local[{cores}] run {i + 1}/{repeats}: "
+                  + ", ".join(f"{k}={v['per_sec']:.1f}/s" for k, v in r.items()
+                              if isinstance(v, dict)),
+                  file=sys.stderr)
+            runs.append(r)
+        levels[cores] = {leg: _median_leg(runs, leg)
+                         for leg in ("focal", "pip", "pipeline")}
+
+    n, n4 = LEVELS
+    eff = {
+        leg: levels[n4][leg]["per_sec"] / (4.0 * levels[n][leg]["per_sec"])
+        for leg in ("focal", "pip", "pipeline")
+    }
+    result = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "levels": {str(k): v for k, v in levels.items()},
+        "efficiency": {k: round(v, 3) for k, v in eff.items()},
+        "criterion": "throughput(local[32]) / (4 * throughput(local[8])) >= 0.8",
+        "repeats": repeats,
+        "scale": scale,
+        "submit": f"{SPARK_SUBMIT} --master local[{{N}}] --py-files engine.zip "
+                  "engine/bench_scaling.py --runner",
+    }
+    return result
+
+
+def write_reports(result: dict) -> None:
+    bench_dir = os.path.join(_REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    lv = result["levels"]
+    eff = result["efficiency"]
+    rows = []
+    for cores in map(str, LEVELS):
+        l = lv[cores]
+        rows.append(
+            f"| local[{cores}] | {l['focal']['per_sec']:.1f} "
+            f"({l['focal']['tiles']} tiles / {l['focal']['sec']:.1f}s) "
+            f"| {l['pip']['per_sec']:.0f} ({l['pip']['rows']} rows / {l['pip']['sec']:.1f}s) "
+            f"| {l['pipeline']['per_sec']:.0f} ({l['pipeline']['docs']} docs / {l['pipeline']['sec']:.1f}s) |"
+        )
+    ok = all(v >= 0.8 for v in eff.values())
+    md = f"""# BENCH/BASELINE.md — measured results (written by engine/bench_scaling.py)
+
+Run: {result["timestamp"]} — medians of {result["repeats"]} runs per level,
+fresh JVM per run via `spark-submit --py-files engine.zip` (command:
+`{result["submit"]}`), identical materialized inputs, timing excludes
+JVM start-up. Machine: 32 cores, local mode (sandbox realization of the
+N-vs-4N-executor criterion per the driver instruction).
+
+| parallelism | focal tiles/sec (circle r=7, T=256) | PIP join rows/sec | pipeline docs/sec |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+## Scaling efficiency — throughput(4N) / (4 x throughput(N))
+
+| leg | efficiency | target |
+|---|---|---|
+| focal (tiles/sec) | **{eff["focal"]:.3f}** | >= 0.8 |
+| PIP join (rows/sec) | **{eff["pip"]:.3f}** | >= 0.8 |
+| pipeline (docs/sec) | **{eff["pipeline"]:.3f}** | >= 0.8 |
+
+Criterion {"MET" if ok else "NOT MET"}: {result["criterion"]}
+"""
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": eff, "ok": ok}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runner", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--scale", type=float,
+                    default=float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1.0")))
+    ap.add_argument("--scratch", default=None)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.runner:
+        if _REPO not in sys.path:
+            sys.path.insert(0, _REPO)
+        scratch = args.scratch or _scratch()
+        print(json.dumps(run_legs(args.cores, args.scale, scratch)))
+    else:
+        if _REPO not in sys.path:
+            sys.path.insert(0, _REPO)
+        write_reports(orchestrate(args.repeats, args.scale))
+
+
+if __name__ == "__main__":
+    main()

@@ -175,7 +175,9 @@ def tiles_rows_from_array(
                     "band": band,
                     "nrows": block.shape[0],
                     "ncols": block.shape[1],
-                    "data": block.ravel().astype(np.float64),
+                    # plain list: createDataFrame on a non-Arrow session
+                    # (e.g. the driver harness's) rejects numpy scalars
+                    "data": block.ravel().astype(np.float64).tolist(),
                 }
             )
     return pd.DataFrame(rows)

@@ -220,6 +220,9 @@ def knn_join(
         if results
         else pd.DataFrame(columns=["q_id", "rank", point_id, "dist_km"])
     )
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in points.schema.fields
+    )[point_id]
     return spark.createDataFrame(
-        out, f"q_id long, rank int, {point_id} string, dist_km double"
+        out, f"q_id long, rank int, {point_id} {id_type}, dist_km double"
     )

@@ -508,6 +508,37 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q24: kNN via k-ring expansion with early termination (J3) — the ENGINE
+# path; oracle = the brute-force haversine top-k SQL (identical results
+# are the whole point of the early-termination bound)
+# ---------------------------------------------------------------------------
+
+def q24_knn_kring(spark: SparkSession, sf: str) -> DataFrame:
+    from engine import joins
+    from engine.deploy import ensure_shipped
+    from engine.queries import _KNN_QUERIES
+
+    ensure_shipped(spark)
+    d = _T(spark, sf, "documents")
+    pts = d.select(
+        "doc_id",
+        shim.shim_lat_col(F.col("doc_id")).alias("lat"),
+        shim.shim_lon_col(F.col("doc_id")).alias("lon"),
+    )
+    qdf = spark.createDataFrame(_KNN_QUERIES, "q_id long, lat double, lon double")
+    out = joins.knn_join(qdf, pts, k=5, level=6, spark=spark)
+    return out.select(
+        "q_id", "rank", "doc_id", F.round("dist_km", 6).alias("dist_km")
+    )
+
+
+def _q24_sql() -> str:
+    from engine.queries import Q11_SQL
+
+    return Q11_SQL
+
+
 TEXT_QUERIES = {
     "q16_pip_rect": (q16_pip_rect, Q16_SQL),
     "q17_token_jaccard": (q17_token_jaccard, Q17_SQL),
@@ -518,3 +549,10 @@ TEXT_QUERIES = {
     "q22_ivf_assign": (q22_ivf_assign, Q22_SQL),
     "q23_ivf_search": (q23_ivf_search, Q23_SQL),
 }
+
+
+def _register_q24() -> None:
+    TEXT_QUERIES["q24_knn_kring"] = (q24_knn_kring, _q24_sql())
+
+
+_register_q24()

@@ -1,0 +1,127 @@
+"""Streaming surface (T1–T5): streaming results must equal the batch
+computation over the same parquet files — the operators are shared."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import fixtures, streaming, udfs
+
+LEVEL, T = 9, 32
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """Interleaved corpus + deterministic event times, written as
+    several files (multiple micro-batches), with some doc_id dupes."""
+    path = str(tmp_path_factory.mktemp("stream_src") / "docs")
+    docs = fixtures.documents_geo(spark, 600, seed=9).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(mins=(F.xxhash64("doc_id") % 180 + 180) % 180),
+    )
+    dupes = docs.limit(40)  # exact duplicate rows (same doc_id, same ts)
+    docs.union(dupes).repartition(6).write.parquet(path)
+    return path
+
+
+def test_stream_cells_equals_batch(spark, stream_src):
+    stream = streaming.stream_cells(
+        streaming.read_documents_stream(spark, stream_src), LEVEL, T
+    ).select("doc_id", "cell_id", "tile_x", "tile_y")
+    streaming.run_to_memory(stream, "cells_stream")
+    got = spark.table("cells_stream").toPandas()
+
+    batch = udfs.with_cell_and_tile(
+        udfs.geocode_cols(spark.read.parquet(stream_src)), LEVEL, T
+    ).select("doc_id", "cell_id", "tile_x", "tile_y").toPandas()
+
+    key = ["doc_id", "cell_id", "tile_x", "tile_y"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        batch.sort_values(key).reset_index(drop=True),
+    )
+
+
+def _batch_window_counts(spark, stream_src) -> pd.DataFrame:
+    batch_cells = udfs.with_cell_and_tile(
+        udfs.geocode_cols(spark.read.parquet(stream_src)), LEVEL, T
+    )
+    return (
+        batch_cells.groupBy(
+            F.window("ts", "10 minutes").alias("win"), "tile_x", "tile_y"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("win.start").alias("win_start"), "tile_x", "tile_y", "n_docs")
+        .toPandas()
+    )
+
+
+def test_windowed_tile_counts_equal_batch(spark, stream_src):
+    """Complete mode, single micro-batch: streaming == batch exactly."""
+    cells = streaming.stream_cells(
+        streaming.read_documents_stream(spark, stream_src), LEVEL, T
+    )
+    streaming.run_to_memory(
+        streaming.tile_window_counts(cells, "10 minutes"),
+        "tile_counts_c",
+        output_mode="complete",
+    )
+    got = spark.table("tile_counts_c").toPandas()
+    batch = _batch_window_counts(spark, stream_src)
+    key = ["win_start", "tile_x", "tile_y"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        batch.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_windowed_append_mode_late_drop(spark, stream_src):
+    """Append mode across micro-batches (T3): the watermark advances
+    between batches, so (a) a window is emitted at most once and never
+    overcounts the batch result, and (b) rows arriving later than the
+    watermark are dropped — emitted counts may undercount, but every
+    emitted window exists in the batch result."""
+    cells = streaming.stream_cells(
+        streaming.read_documents_stream(spark, stream_src, max_files_per_trigger=2),
+        LEVEL, T,
+    )
+    streaming.run_to_memory(
+        streaming.tile_window_counts(cells, "10 minutes"), "tile_counts_a"
+    )
+    got = spark.table("tile_counts_a").toPandas()
+    batch = _batch_window_counts(spark, stream_src)
+    key = ["win_start", "tile_x", "tile_y"]
+    merged = got.merge(batch, on=key, how="left", suffixes=("", "_batch"))
+    assert len(got) > 0
+    assert merged.n_docs_batch.notna().all()
+    assert (merged.n_docs <= merged.n_docs_batch).all()
+    assert not got.duplicated(subset=key).any()
+
+
+def test_dedup_stream(spark, stream_src):
+    docs = streaming.read_documents_stream(spark, stream_src)
+    streaming.run_to_memory(
+        streaming.dedup_stream(docs).select("doc_id"), "dedup_stream"
+    )
+    got = spark.table("dedup_stream").toPandas()
+    n_unique = spark.read.parquet(stream_src).select("doc_id").distinct().count()
+    assert len(got) == n_unique
+    assert got.doc_id.nunique() == n_unique
+
+
+def test_session_windows_run(spark, stream_src):
+    cells = streaming.stream_cells(
+        streaming.read_documents_stream(spark, stream_src), LEVEL, T
+    )
+    streaming.run_to_memory(
+        streaming.session_windows(cells), "sessions", output_mode="complete"
+    )
+    got = spark.table("sessions").toPandas()
+    assert len(got) > 0
+    assert (got.sess_end > got.sess_start).all()
+    # sessions partition the rows: counts sum to the input
+    assert got.n_docs.sum() == spark.read.parquet(stream_src).count()
