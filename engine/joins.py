@@ -57,8 +57,10 @@ def pip_join(
     polygon). Stage 1 broadcast cover filter, stage 2 exact vectorized
     ray-cast refine (pipelined, no extra shuffle)."""
     cover = cover_table(spark, polys, level)
+    # Arrow-batched Morton encode — the inlined Catalyst variant blows
+    # up the join's generated code (see engine/udfs.py docstring)
     cand = points.withColumn(
-        "_pipcell", udfs.cell_encode_col(F.col(lat), F.col(lon), level)
+        "_pipcell", udfs.cell_encode_pudf(F.col(lat), F.col(lon), F.lit(level))
     ).join(
         F.broadcast(cover), F.col("_pipcell") == cover.cell_id, "inner"
     ).drop("cell_id", "_pipcell")
@@ -139,7 +141,9 @@ def knn_join(
         point_id,
         F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"),
-    ).withColumn("cell_id", udfs.cell_encode_col(F.col("p_lat"), F.col("p_lon"), level))
+    ).withColumn(
+        "cell_id", udfs.cell_encode_pudf(F.col("p_lat"), F.col("p_lon"), F.lit(level))
+    )
     pts.persist()
     q_pdf = queries.select("q_id", "lat", "lon").toPandas()
     unresolved = q_pdf

@@ -4,13 +4,23 @@ Two implementations, one semantics (engine.grid is the single source of
 truth, shared with the goldens):
 
 1. **Column expressions** (`*_col` / `geocode_cols`) — pure Catalyst
-   expressions (bit-twiddled Morton interleave with shiftleft/and/or),
-   fully JVM-side and whole-stage-codegen'd; zero Python on the hot
-   path. Preferred in the pipeline.
+   expressions, fully JVM-side and whole-stage-codegen'd. Used for the
+   CHEAP encodes (geocode parse, (i,j) quantize, tile/ti/tj, haversine).
 2. **pandas UDFs** (`*_pudf`) — Arrow-batched vectorized NumPy over
-   engine.grid, for ops whose output Catalyst can't express cheaply
-   (k_ring arrays) and as the "vectorized Arrow UDF" API surface
-   required by BASELINE.json:6. Never row-at-a-time Python.
+   engine.grid — the "batched cell encode, no per-row Python" surface
+   of BASELINE.json:6. This is the hot-path MORTON encode.
+
+Why the Morton pack is NOT a Catalyst expression on the hot path
+(measured this session, 16M rows, local[32]): each interleave stage of
+`_part1by1_col` references its input twice, so the expression TREE is
+exponential in stages (~32 copies of the quantize subtree); a join then
+duplicates the whole tree again into its null-filter and key hash. The
+generated code grows to megabytes — compile time + constant-folding
+dominate and the stage runs ~75 s almost independent of parallelism.
+The identical computation as an Arrow-batched pandas UDF: 7.6 s
+end-to-end and scales with cores. The `_col` variant is kept for
+parity tests and small/driver-side frames; `cell_encode_pudf` is the
+one to use under joins/aggregations.
 
 Tests assert both paths agree bit-for-bit with engine.grid.
 """
@@ -85,12 +95,16 @@ def geocode_cols(df: DataFrame, spans_col: str = "spans") -> DataFrame:
 def with_cell_and_tile(
     df: DataFrame, level: int, tile_size: int, lat: str = "lat", lon: str = "lon"
 ) -> DataFrame:
-    """C2 + C6 in one JVM-only pass: cell_id, tile_x, tile_y, ti, tj."""
+    """C2 + C6: tile/ti/tj via JVM quantize (small expression trees),
+    cell_id via the Arrow-batched Morton pudf (see module docstring for
+    why the Morton pack must not be inlined as a Catalyst expression)."""
     i, j = latlon_to_ij_cols(F.col(lat), F.col(lon), level)
     return (
         df.withColumn("_i", i)
         .withColumn("_j", j)
-        .withColumn("cell_id", cell_id_from_ij_cols(F.col("_i"), F.col("_j"), level))
+        .withColumn(
+            "cell_id", cell_encode_pudf(F.col(lat), F.col(lon), F.lit(level))
+        )
         .withColumn("tile_x", (F.col("_i") / tile_size).cast("int"))
         .withColumn("tile_y", (F.col("_j") / tile_size).cast("int"))
         .withColumn("ti", (F.col("_i") % tile_size).cast("int"))
