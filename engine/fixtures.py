@@ -91,7 +91,8 @@ def _gen_docs_batch(ks: np.ndarray, seed: int, parts: int) -> pd.DataFrame:
 
 
 def documents_geo(
-    spark: "SparkSession", n: int, seed: int = 42, parts: int = 16
+    spark: "SparkSession", n: int, seed: int = 42, parts: int = 16,
+    n_parts: int | None = None,
 ) -> "DataFrame":
     """Distributed deterministic generator of the interleaved corpus."""
 
@@ -99,7 +100,8 @@ def documents_geo(
         for pdf in it:
             yield _gen_docs_batch(pdf["id"].to_numpy(), seed, parts)
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, DOCUMENTS_SCHEMA_DDL)
 
 

@@ -556,3 +556,165 @@ def _register_q24() -> None:
 
 
 _register_q24()
+
+
+# ---------------------------------------------------------------------------
+# q25: embedding-cosine near-dup (D-family dedup variant). Scale path:
+# sign-bit random-projection LSH — bucket = sign pattern of the first
+# SRP_BITS components (fixed axis-aligned hyperplanes, deterministic
+# cross-engine) — so the self-join is an equi-join on bucket, never a
+# cross join; exact cosine >= TAU refine inside the bucket. At 100 TB
+# the bucket join shuffles only same-signature vectors (expected bucket
+# size n/2^bits); recall is tunable via bits, as in any SRP-LSH dedup.
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 4
+NEARDUP_TAU = 0.35
+
+
+def _srp_bucket(col: Column) -> Column:
+    b = F.lit(0)
+    for i in range(SRP_BITS):
+        b = b + F.when(F.element_at(col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("long")
+
+
+def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))))
+        .filter(F.col("cos_sim") >= NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+_BUCKET_SQL = (
+    f"list_sum(list_transform(range(0, {SRP_BITS}), i -> "
+    "CASE WHEN {e}[CAST(i + 1 AS INT)] > 0 THEN CAST(2 ** i AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END))"
+)
+
+Q25_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(e="embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26: gap-based sessionization (batch sibling of the streaming session
+# window, §2.8-T4): per-user sessions split at >30 min inactivity via
+# lag + running sum — one shuffle on user_id, all JVM window functions.
+# Integer microsecond arithmetic keeps the gap test exact cross-engine.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800 * 1_000_000
+
+
+def q26_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast is a
+    # pure re-tag and unix_micros matches DuckDB's epoch_us on the naive value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_ev"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("longest_session"),
+    )
+
+
+Q26_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_ev FROM s GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       MAX(n_ev) AS longest_session
+FROM per GROUP BY user_id
+"""
+
+TEXT_QUERIES["q25_embedding_neardup"] = (q25_embedding_neardup, Q25_SQL)
+TEXT_QUERIES["q26_user_sessions"] = (q26_user_sessions, Q26_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q27: set operators (Q6 — intersect / except / union) as customer
+# cohort segmentation across two order years. Each branch is a distinct
+# on a single column after a pushed-down year filter, so at scale this
+# is three pruned scans + one shuffle each — no joins.
+# ---------------------------------------------------------------------------
+
+def q27_customer_setops(spark: SparkSession, sf: str) -> DataFrame:
+    o = _T(spark, sf, "orders")
+    yr = lambda y: (  # noqa: E731
+        o.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+    )
+    a, b = yr(1995), yr(1996)
+    seg = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("segment"), F.count("*").alias("n_customers")
+    )
+    return (
+        seg(a.intersect(b), "both")
+        .unionAll(seg(a.exceptAll(b), "only_1995"))
+        .unionAll(seg(b.exceptAll(a), "only_1996"))
+        .select("segment", "n_customers")
+    )
+
+
+Q27_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS segment, COUNT(*) AS n_customers FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'only_1995', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'only_1996', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+TEXT_QUERIES["q27_customer_setops"] = (q27_customer_setops, Q27_SQL)
