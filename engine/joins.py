@@ -52,10 +52,27 @@ def pip_join(
     lat: str = "lat",
     lon: str = "lon",
     exact: bool = True,
+    strategy: str = "fused",
 ) -> DataFrame:
     """Inner join point→polygon: one output row per (point, containing
-    polygon). Stage 1 broadcast cover filter, stage 2 exact vectorized
-    ray-cast refine (pipelined, no extra shuffle)."""
+    polygon).
+
+    strategy="fused" (default): cover filter + exact refine in ONE
+    vectorized mapInPandas pass — the exploded (cell_id → poly_id)
+    cover rides in the task closure (it is small by the broadcast-cover
+    design premise), so the big side crosses the Arrow boundary exactly
+    once and there is no join stage at all. Measured motivation: the
+    broadcast-hash-join formulation evaluates the cell-encode pandas
+    UDF TWICE (Catalyst infers an isnotnull filter on the join key and
+    ExtractPythonUDFs does not CSE across it) — two full Arrow round
+    trips of the points table.
+
+    strategy="join": stage 1 broadcast cover equi-join, stage 2
+    pipelined mapInPandas refine — for polygon sets whose cover is too
+    big for a task closure (still zero shuffles of the points side).
+    """
+    if strategy == "fused":
+        return _pip_join_fused(points, polys, level, lat, lon, exact)
     cover = cover_table(spark, polys, level)
     # Arrow-batched Morton encode — the inlined Catalyst variant blows
     # up the join's generated code (see engine/udfs.py docstring)
@@ -85,6 +102,72 @@ def pip_join(
             yield pdf[keep]
 
     return cand.mapInPandas(refine, out_schema)
+
+
+def _pip_join_fused(
+    points: DataFrame,
+    polys: list[dict],
+    level: int,
+    lat: str,
+    lon: str,
+    exact: bool,
+) -> DataFrame:
+    """Single-crossing PIP: a scalar pandas_udf maps (lat, lon) →
+    array of containing poly_ids (encode → sorted-cover membership via
+    searchsorted → per-polygon ray-cast, all NumPy), then a JVM-side
+    ``explode`` fans out matches — explode of an empty array emits no
+    row, which IS the inner-join semantics.
+
+    Why not mapInPandas: its row-stream serialization measured ~1.9 µs/
+    row (5× the ArrowEvalPython path) on this Spark — only the two
+    coordinate columns should cross the Arrow boundary, once.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    pairs = sorted(
+        (int(cid), int(p["poly_id"]))
+        for p in polys
+        for cid in geometry.polygon_cell_cover(p["ring"], level)
+    )
+    cells_sorted = np.array([c for c, _ in pairs], dtype=np.int64)
+    poly_sorted = np.array([p for _, p in pairs], dtype=np.int64)
+    rings = {int(p["poly_id"]): p["ring"] for p in polys}
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def pip_polys(la_s: pd.Series, lo_s: pd.Series) -> pd.Series:
+        la = la_s.to_numpy(dtype=np.float64)
+        lo = lo_s.to_numpy(dtype=np.float64)
+        cid = grid.cell_encode(la, lo, level)
+        left = np.searchsorted(cells_sorted, cid, side="left")
+        right = np.searchsorted(cells_sorted, cid, side="right")
+        n = right - left  # candidate polys per point (usually 0 or 1)
+        total = int(n.sum())
+        empty: list[int] = []
+        if total == 0:
+            return pd.Series([empty] * len(la))
+        reps = np.repeat(np.arange(len(la)), n)
+        offs = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+        pid = poly_sorted[np.repeat(left, n) + offs]
+        if exact:
+            keep = np.zeros(total, dtype=bool)
+            for pp, ring in rings.items():
+                sel = pid == pp
+                if sel.any():
+                    keep[sel] = geometry.point_in_polygon(
+                        la[reps[sel]], lo[reps[sel]], ring
+                    )
+            reps, pid = reps[keep], pid[keep]
+        out = [empty] * len(la)
+        # group matches back per input row (reps is sorted ascending)
+        starts = np.flatnonzero(np.diff(reps, prepend=-1))
+        for s, e in zip(starts, np.append(starts[1:], len(reps))):
+            out[reps[s]] = pid[s:e].tolist()
+        return pd.Series(out)
+
+    return points.withColumn(
+        "poly_id", F.explode(pip_polys(F.col(lat), F.col(lon)))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -718,3 +718,89 @@ SELECT 'only_1996', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
 """
 
 TEXT_QUERIES["q27_customer_setops"] = (q27_customer_setops, Q27_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q28: CUBE aggregation (A4 — q03 covers ROLLUP; this covers the full
+# grouping-set lattice) over events: all four (event_type × weekday)
+# grouping combinations in one pass. Spark plans this as a single
+# expand+hash-agg — at scale one shuffle regardless of lattice size.
+# ---------------------------------------------------------------------------
+
+def q28_event_cube(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("weekday"),
+        "value",
+    )
+    # integer-cents sum then ONE division: bitwise-identical doubles in
+    # both engines regardless of accumulation order (engine/queries.py)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.cube("event_type", "weekday").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+    )
+
+
+Q28_SQL = """
+SELECT event_type, weekday, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM (SELECT event_type, dayofweek(ts) + 1 AS weekday, value FROM events)
+GROUP BY CUBE (event_type, weekday)
+"""
+
+TEXT_QUERIES["q28_event_cube"] = (q28_event_cube, Q28_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q29: ranking + analytic window functions (Q1/Q2 rows not exercised
+# elsewhere): per-priority order quartiles via ntile, dense_rank over
+# rounded price bands, and lead() price deltas — one shuffle on the
+# window partition key.
+# ---------------------------------------------------------------------------
+
+def q29_order_rank_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    o = _T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(
+            F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0))
+            - F.col("o_totalprice"),
+            6,
+        ).alias("next_delta"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("drank").alias("max_drank"),
+            F.round(F.sum("next_delta"), 4).alias("sum_next_delta"),
+        )
+    )
+
+
+Q29_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         NTILE(4) OVER w AS quartile,
+         DENSE_RANK() OVER w AS drank,
+         ROUND(COALESCE(LEAD(o_totalprice) OVER w, 0.0) - o_totalprice, 6)
+           AS next_delta
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+       MAX(drank) AS max_drank,
+       ROUND(SUM(next_delta), 4) AS sum_next_delta
+FROM ranked GROUP BY o_orderpriority, quartile
+"""
+
+TEXT_QUERIES["q29_order_rank_analytics"] = (q29_order_rank_analytics, Q29_SQL)
