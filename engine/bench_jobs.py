@@ -77,11 +77,11 @@ def ensure_inputs(
     path = os.path.join(scratch, f"bench_tiles_{nx}x{ny}_{T}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(synthetic_tiles(spark, nx, ny, T, 14), path)
-    n_points = int(64_000_000 * scale)
+    n_points = int(128_000_000 * scale)
     path = os.path.join(scratch, f"bench_points_{n_points}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(synthetic_points(spark, n_points), path)
-    n_docs = int(8_000_000 * scale)
+    n_docs = int(32_000_000 * scale)
     path = os.path.join(scratch, f"bench_docs_{n_docs}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), path)
@@ -115,7 +115,7 @@ def leg_pipeline(
     spark: SparkSession,
     scratch: str,
     n_docs: int = 1_000_000,
-    level: int = 11,
+    level: int = 12,
     T: int = 64,
     r: int = 7,
 ) -> tuple[int, int, float]:
