@@ -55,18 +55,26 @@ def main() -> None:
     t_all = time.perf_counter()
     queries: dict[str, float] = {}
 
+    def steady(fn):
+        # same discipline as the scaling harness: the first run per JVM
+        # pays codegen/JIT/python-worker spin-up; time the second
+        fn()
+        return fn()
+
     # --- headline legs -----------------------------------------------------
     ny = max(int(32 * scale), 2)
-    n_tiles, s_focal = bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
+    n_tiles, s_focal = steady(
+        lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
+    )
     queries["focal_circle_r7_2048tiles"] = round(s_focal, 3)
 
-    n_docs, n_ptiles, s_pipe = bench_jobs.leg_pipeline(
-        spark, scratch, n_docs=int(1_000_000 * scale)
+    n_docs, n_ptiles, s_pipe = steady(
+        lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(1_000_000 * scale))
     )
     queries["pipeline_docs_to_stats"] = round(s_pipe, 3)
 
-    n_pts, n_pip_rows, s_pip = bench_jobs.leg_pip(
-        spark, scratch, n_points=int(4_000_000 * scale)
+    n_pts, n_pip_rows, s_pip = steady(
+        lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(4_000_000 * scale))
     )
     queries["pip_join_4m_points"] = round(s_pip, 3)
 

@@ -580,27 +580,38 @@ def _srp_bucket(col: Column) -> Column:
 
 
 def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # norm is computed once per VECTOR before the self-join (same
+    # double arithmetic as a per-pair norm, ~3x less work per pair)
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
     e = _T(spark, sf, "embeddings").select(
-        "vec_id", "embedding", _srp_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _srp_bucket(F.col("embedding")).alias("bucket"),
+        nrm.alias("nrm"),
     )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "bucket", F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        "bucket", F.col("nrm").alias("nrm_b"),
     )
     dot = F.aggregate(
         F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))))
+        .withColumn("cos_sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cos_sim") >= NEARDUP_TAU)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
