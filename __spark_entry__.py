@@ -65,14 +65,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in TEXT_QUERIES.items()})
-    out.update(SPATIAL_QUERIES)
+    out.update({name: fn for name, (fn, _sql) in SPATIAL_QUERIES.items()})
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from engine.queries import SQL_QUERIES
+    from engine.spatial_queries import SPATIAL_QUERIES
     from engine.text_queries import TEXT_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
     out.update({name: sql for name, (_fn, sql) in TEXT_QUERIES.items()})
+    out.update(
+        {name: sql for name, (_fn, sql) in SPATIAL_QUERIES.items() if sql is not None}
+    )
     return out

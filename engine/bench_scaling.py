@@ -99,8 +99,19 @@ def _cpu_pin(cores: int) -> list[str]:
     and adds jitter to whatever is pinned on it."""
     total = os.cpu_count() or 32
     if cores >= total:
+        print(f"# cpu_pin: cores={cores} >= total={total}, no pinning", file=sys.stderr)
         return []
-    start = 16 if 16 + cores <= total else 0
+    if 16 + cores <= total:
+        start = 16
+    elif 1 + cores <= total:
+        # the 16-offset window does not fit; still exclude CPU 0
+        start = 1
+        print(f"# cpu_pin: 16-offset window does not fit, pinning {start}-{start + cores - 1}",
+              file=sys.stderr)
+    else:
+        start = 0
+        print("# cpu_pin: WARNING pinned range includes CPU 0 (interrupt jitter)",
+              file=sys.stderr)
     return ["taskset", "-c", f"{start}-{start + cores - 1}"]
 
 
@@ -215,8 +226,9 @@ def write_reports(result: dict) -> None:
     rows = []
     for cores in map(str, LEVELS):
         l = lv[cores]
+        n_runs = l["focal"].get("n_runs", result["repeats"])
         rows.append(
-            f"| local[{cores}] pinned to {cores} CPUs | {l['focal']['per_sec']:.1f} "
+            f"| local[{cores}] pinned to {cores} CPUs ({n_runs} runs) | {l['focal']['per_sec']:.1f} "
             f"({l['focal']['tiles']} tiles / {l['focal']['sec']:.1f}s) "
             f"| {l['pip']['per_sec']:.0f} ({l['pip']['rows']} rows / {l['pip']['sec']:.1f}s) "
             f"| {l['pipeline']['per_sec']:.0f} ({l['pipeline']['docs']} docs / {l['pipeline']['sec']:.1f}s) |"
@@ -229,7 +241,10 @@ def write_reports(result: dict) -> None:
     ok_b = all(eff_b[k] >= 0.8 for k in ("focal", "pip"))
     md = f"""# BENCH/BASELINE.md — measured results (written by engine/bench_scaling.py)
 
-Run: {result["timestamp"]} — medians of {result["repeats"]} runs per level,
+Run: {result["timestamp"]} — per-level medians (run counts in the table
+below; the 4N side runs 2× the repeats of the N side because its ~20 s
+legs are the most exposed to the host's intermittent noise windows —
+asymmetric by design, stated here so the report matches scaling.json),
 fresh JVM per run via `spark-submit --py-files engine.zip` (command:
 `{result["submit"]}`), identical materialized inputs, timing excludes
 JVM start-up; each leg runs twice per JVM and the steady-state second

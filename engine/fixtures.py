@@ -91,7 +91,7 @@ def _gen_docs_batch(ks: np.ndarray, seed: int, parts: int) -> pd.DataFrame:
 
 
 def documents_geo(
-    spark: "SparkSession", n: int, seed: int = 42, parts: int = 16,
+    spark: "SparkSession", n: int, seed: int = 42, *, parts: int = 16,
     n_parts: int | None = None,
 ) -> "DataFrame":
     """Distributed deterministic generator of the interleaved corpus."""

@@ -262,15 +262,20 @@ def _halo_branch(T: int, g: int, dy: int, dx: int, wrap_nx: int | None):
     x1 = F.least(nc, F.lit(dx * T + T + g))
     h, w = y1 - F.lit(y0), x1 - F.lit(x0)
 
-    if dx == 0:
-        data = F.slice("data", F.lit(y0) * nc + 1, h * nc)
-    else:
-        data = F.flatten(
-            F.transform(
-                F.sequence(F.lit(y0), y1 - 1),
-                lambda y: F.slice("data", y * nc + F.lit(x0) + 1, w),
-            )
+    per_row = F.flatten(
+        F.transform(
+            F.sequence(F.lit(y0), y1 - 1),
+            lambda y: F.slice("data", y * nc + F.lit(x0) + 1, w),
         )
+    )
+    if dx == 0:
+        # full-width strips are ONE contiguous slice — but only when the
+        # computed strip really spans the payload width (w == ncols; a
+        # ragged tile with ncols > T+g would otherwise emit full rows
+        # while declaring ncols=w)
+        data = F.when(w == nc, F.slice("data", F.lit(y0) * nc + 1, h * nc)).otherwise(per_row)
+    else:
+        data = per_row
 
     dst_x = F.col("tile_x") + F.lit(dx)
     if wrap_nx is not None:

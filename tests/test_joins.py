@@ -87,12 +87,13 @@ def test_cover_superset():
         assert set(ids.tolist()) <= cover
 
 
-def test_pip_join_spark(spark):
+@pytest.mark.parametrize("strategy", ["fused", "join"])
+def test_pip_join_spark(spark, strategy):
     level = 7
     polys = fixtures.polygons()
     qp = fixtures.query_points(600)
     pts = spark.createDataFrame(qp)
-    out = joins.pip_join(pts, polys, level, spark).toPandas()
+    out = joins.pip_join(pts, polys, level, spark, strategy=strategy).toPandas()
     got = set(zip(out.q_id, out.poly_id))
     want = set()
     for p in polys:

@@ -94,11 +94,14 @@ def test_halo_jvm_matches_python(spark, wrap_nx):
     for ty in range(3):
         for tx in range(4):
             nr = T if ty < 2 else 11
-            arr = rng.random(nr * T)
-            arr[rng.random(nr * T) < 0.1] = np.nan
+            # one oversized-payload tile (ncols > T+g) exercises the
+            # w != ncols guard in the JVM dx==0 branch
+            nc = T + g + 3 if (tx, ty) == (1, 1) else T
+            arr = rng.random(nr * nc)
+            arr[rng.random(nr * nc) < 0.1] = np.nan
             rows.append(
                 {"tile_x": tx, "tile_y": ty, "level": 8, "band": "b",
-                 "nrows": nr, "ncols": T, "data": arr}
+                 "nrows": nr, "ncols": nc, "data": arr}
             )
     tiles = spark.createDataFrame(pd.DataFrame(rows), schema=tiling.TILES_SCHEMA)
     key = ["dst_tx", "dst_ty", "band", "is_center", "oy", "ox"]
