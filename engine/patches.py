@@ -52,33 +52,51 @@ PATCH_ROWS_SCHEMA = (
 # per-tile CCL (pure NumPy, scipy-free two-pass union-find)
 # ---------------------------------------------------------------------------
 
+def connected_components_numpy(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over nodes 0..n-1 given edge
+    endpoint arrays (a, b): returns labels with labels[i] = MIN node id
+    of i's component.
+
+    Min-hooking + pointer-jumping (Shiloach–Vishkin flavor): each round
+    every edge pulls both endpoint labels down to their min (one
+    ``np.minimum.at`` scatter per side), then labels are fully
+    shortcut via ``lab = lab[lab]`` until stable — label values are
+    themselves node indices, so compression is pure gather. O(E) NumPy
+    work per round, O(log n) rounds; no Python-level per-edge loops
+    (the round-1 per-pair union-find was the sq_patch_stats hot spot)."""
+    lab = np.arange(n, dtype=np.int64)
+    if len(a) == 0:
+        return lab
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, before):
+            return lab
+
+
 def label_tile(arr: np.ndarray) -> tuple[np.ndarray, int]:
     """Rook-connectivity CCL of equal-valued finite cells. Returns
-    (labels int64 with -1 at nodata, n_labels); labels are 0..n-1."""
+    (labels int64 with -1 at nodata, n_labels); labels are 0..n-1,
+    ordered by each component's minimum flattened cell index (so label
+    k's root cell is the k-th smallest component-min index)."""
     H, W = arr.shape
     finite = np.isfinite(arr)
     labels = np.full((H, W), -1, dtype=np.int64)
-    parent = np.arange(H * W, dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    # union with left/up equal neighbors
     idx = np.arange(H * W).reshape(H, W)
     same_left = finite[:, 1:] & finite[:, :-1] & (arr[:, 1:] == arr[:, :-1])
     same_up = finite[1:, :] & finite[:-1, :] & (arr[1:, :] == arr[:-1, :])
-    for a, b in zip(idx[:, 1:][same_left].ravel(), idx[:, :-1][same_left].ravel()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    for a, b in zip(idx[1:, :][same_up].ravel(), idx[:-1, :][same_up].ravel()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    roots = np.array([find(i) for i in idx[finite].ravel()], dtype=np.int64)
+    a = np.concatenate([idx[:, 1:][same_left], idx[1:, :][same_up]])
+    b = np.concatenate([idx[:, :-1][same_left], idx[:-1, :][same_up]])
+    roots = connected_components_numpy(a, b, H * W)[finite.ravel()]
     uniq, compact = np.unique(roots, return_inverse=True)
     labels[finite] = compact
     return labels, len(uniq)
@@ -163,8 +181,14 @@ def _distributed_min_label(
 _LABEL_STAGE_SCHEMA = (
     "tile_x int, tile_y int, kind string, "
     "labels array<long>, klass array<double>, area array<long>, perim array<long>, "
+    "min_gidx array<long>, "
     "strip_labels array<long>, strip_klass array<double>, border string"
 )
+
+# global cell index stride: gidx = gy * 2^32 + gx — row-major global
+# ordering for any raster narrower than 2^32 cells (level ≤ 29 always
+# is); exact in float64 for gy < 2^21 (far beyond any tile grid here)
+_GIDX_STRIDE = np.int64(1) << np.int64(32)
 
 
 def build_patches(
@@ -177,9 +201,15 @@ def build_patches(
 ):
     """tiles (band='class') → (label_tiles, patch_table).
 
-    label_tiles: tiles schema, band='patch', data = global patch root id
-    (float64-encoded; exact below 2^53) with NaN at nodata.
-    patch_table: DataFrame (patch_id, klass, area, perimeter).
+    label_tiles: tiles schema, band='patch', data = CANONICAL patch id
+    (the patch's minimum global cell index gy·2³²+gx — deterministic,
+    tile-size-invariant, and SQL-replicable) float64-encoded with NaN
+    at nodata. patch_table: DataFrame (patch_id, klass, area, perimeter).
+
+    No step materializes per-patch state on the driver: equivalence
+    edges resolve driver-side only under ``driver_edge_limit`` and the
+    label→canonical remap is a per-tile label-list equi-join (labels
+    per tile ≪ pixels per tile), never a broadcast of the full map.
     """
     exchanged = tiling.halo_exchange(tiles, T, 1, wrap_nx)
 
@@ -188,7 +218,8 @@ def build_patches(
         if got is None:
             return pd.DataFrame(
                 columns=["tile_x", "tile_y", "kind", "labels", "klass",
-                         "area", "perim", "strip_labels", "strip_klass", "border"]
+                         "area", "perim", "min_gidx",
+                         "strip_labels", "strip_klass", "border"]
             )
         bands, nr, nc = got
         (_, padded), = bands.items()
@@ -207,6 +238,13 @@ def build_patches(
             perims = np.bincount(local[finite], weights=perim[finite], minlength=n)
             klass = np.full(n, np.nan)
             klass[local[finite]] = core[finite]
+            # per-label min flattened in-tile index -> min global index
+            flat = np.arange(nr * nc, dtype=np.int64).reshape(nr, nc)
+            min_flat = np.full(n, np.iinfo(np.int64).max)
+            np.minimum.at(min_flat, local[finite], flat[finite])
+            gy = np.int64(ty) * T + min_flat // nc
+            gx = np.int64(tx) * T + min_flat % nc
+            min_gidx = gy * _GIDX_STRIDE + gx
             rows.append(
                 {
                     "tile_x": tx, "tile_y": ty, "kind": "attrs",
@@ -214,6 +252,7 @@ def build_patches(
                     "klass": klass.tolist(),
                     "area": areas.astype(np.int64).tolist(),
                     "perim": perims.astype(np.int64).tolist(),
+                    "min_gidx": min_gidx.tolist(),
                     "strip_labels": None, "strip_klass": None, "border": None,
                 }
             )
@@ -222,7 +261,7 @@ def build_patches(
             {
                 "tile_x": tx, "tile_y": ty, "kind": "plane",
                 "labels": glab.ravel().tolist(), "klass": None,
-                "area": [nr, nc], "perim": None,
+                "area": [nr, nc], "perim": None, "min_gidx": None,
                 "strip_labels": None, "strip_klass": None, "border": None,
             }
         )
@@ -233,6 +272,7 @@ def build_patches(
                 {
                     "tile_x": tx, "tile_y": ty, "kind": "strip",
                     "labels": None, "klass": None, "area": None, "perim": None,
+                    "min_gidx": None,
                     "strip_labels": sl_lab.tolist(),
                     "strip_klass": sl_k.tolist(),
                     "border": border,
@@ -280,13 +320,19 @@ def build_patches(
 
     edges_df = strips.groupBy("border").applyInPandas(border_edges, "a long, b long")
     attrs = stage1_df.filter(F.col("kind") == "attrs").select(
-        F.explode(F.arrays_zip("labels", "klass", "area", "perim")).alias("z")
+        "tile_x",
+        "tile_y",
+        F.explode(F.arrays_zip("labels", "klass", "area", "perim", "min_gidx")).alias("z"),
     ).select(
+        "tile_x",
+        "tile_y",
         F.col("z.labels").alias("label"),
         F.col("z.klass").alias("klass"),
         F.col("z.area").alias("area"),
         F.col("z.perim").alias("perimeter"),
+        F.col("z.min_gidx").alias("min_gidx"),
     )
+    attrs.persist()
 
     n_edges = edges_df.count()
     if force_distributed or n_edges > driver_edge_limit:
@@ -299,33 +345,60 @@ def build_patches(
             _driver_union_find(edges_pd, nodes), "label long, root long"
         )
 
+    # canonical patch id = the component's minimum global cell index —
+    # deterministic across tile sizes and replicable by the SQL oracle
+    merged = attrs.join(mapping, "label")
+    canon = merged.groupBy("root").agg(F.min("min_gidx").alias("patch_id"))
     patch_table = (
-        attrs.join(mapping, "label")
-        .groupBy(F.col("root").alias("patch_id"))
+        merged.groupBy("root")
         .agg(
             F.first("klass").alias("klass"),
             F.sum("area").alias("area"),
             F.sum("perimeter").alias("perimeter"),
         )
+        .join(canon, "root")
+        .select("patch_id", "klass", "area", "perimeter")
     )
 
+    # relabel by JOIN, not driver broadcast: a tile's distinct provisional
+    # labels (≪ its pixels) equi-join the label→canonical map, collect
+    # into one small list per tile, and the dense remap runs in NumPy
+    # next to the plane payload
+    lab2canon = mapping.join(canon, "root").select(
+        "label", F.col("patch_id").alias("canon")
+    )
+    tile_map = (
+        attrs.select("tile_x", "tile_y", "label")
+        .join(lab2canon, "label")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.collect_list(F.struct("label", "canon")).alias("m"))
+    )
     planes = stage1_df.filter(F.col("kind") == "plane")
-    mapping_pd = mapping.toPandas()
-    root_of = dict(zip(mapping_pd.label, mapping_pd.root))
-    b_root = spark.sparkContext.broadcast(root_of)
+    joined = planes.select("tile_x", "tile_y", "labels", "area").join(
+        tile_map, ["tile_x", "tile_y"], "left"
+    )
 
     def relabel(pdf_iter):
         for pdf in pdf_iter:
             out = []
-            ro = b_root.value
             for row in pdf.itertuples(index=False):
                 nr, nc = int(row.area[0]), int(row.area[1])
                 lab = np.asarray(row.labels, dtype=np.int64)
-                mapped = np.array(
-                    [ro.get(int(x), x) if x >= 0 else -1 for x in lab],
-                    dtype=np.int64,
-                )
-                data = np.where(mapped >= 0, mapped.astype(np.float64), np.nan)
+                data = np.full(len(lab), np.nan)
+                pos_mask = lab >= 0
+                if row.m is not None and len(row.m) and pos_mask.any():
+                    pairs = [
+                        (e["label"], e["canon"]) if isinstance(e, dict) else (e[0], e[1])
+                        for e in row.m
+                    ]
+                    m_lab = np.array([p[0] for p in pairs], dtype=np.int64)
+                    m_can = np.array([p[1] for p in pairs], dtype=np.int64)
+                    order = np.argsort(m_lab)
+                    m_lab, m_can = m_lab[order], m_can[order]
+                    pos = np.searchsorted(m_lab, lab[pos_mask])
+                    data[pos_mask] = m_can[np.clip(pos, 0, len(m_lab) - 1)].astype(
+                        np.float64
+                    )
                 out.append(
                     {
                         "tile_x": row.tile_x, "tile_y": row.tile_y,
@@ -338,7 +411,7 @@ def build_patches(
                 columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"],
             )
 
-    label_tiles = planes.mapInPandas(relabel, tiling.TILES_SCHEMA)
+    label_tiles = joined.mapInPandas(relabel, tiling.TILES_SCHEMA)
     return label_tiles, patch_table
 
 
@@ -375,29 +448,60 @@ PATCH_STAT_KERNELS = {
 
 
 def derive_patch_planes(
-    label_tiles: DataFrame, patch_table: DataFrame, spark: SparkSession
+    label_tiles: DataFrame, patch_table: DataFrame, spark: SparkSession | None = None
 ) -> DataFrame:
     """label tiles + patch table → per-cell derived bands 'inv_area'
     (1/patch area) and 'si' (0.25·perimeter/√area of the cell's patch).
-    Patch table is broadcast (scale path: replace with an equi-join of
-    exploded plane pixels on patch_id — same result, one shuffle)."""
-    pt = patch_table.toPandas()
-    inv_area = dict(zip(pt.patch_id, 1.0 / pt.area))
-    si = dict(zip(pt.patch_id, 0.25 * pt.perimeter / np.sqrt(pt.area)))
-    b = spark.sparkContext.broadcast((inv_area, si))
+
+    Scale path (round-2 fix): the per-tile DISTINCT patch-id list
+    equi-joins the patch table (one shuffle of tiny label lists), then
+    the dense per-pixel remap is a NumPy searchsorted next to the
+    payload — no driver materialization of the patch table, ever."""
+    stats = patch_table.select(
+        "patch_id",
+        (F.lit(1.0) / F.col("area")).alias("inv_area"),
+        (F.lit(0.25) * F.col("perimeter") / F.sqrt("area")).alias("si"),
+    )
+    tile_ids = label_tiles.select(
+        "tile_x",
+        "tile_y",
+        F.explode(
+            F.array_distinct(
+                F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+            )
+        ).alias("_pid"),
+    ).select("tile_x", "tile_y", F.col("_pid").cast("long").alias("patch_id"))
+    tile_map = (
+        tile_ids.join(stats, "patch_id")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.collect_list(F.struct("patch_id", "inv_area", "si")).alias("m"))
+    )
+    joined = label_tiles.join(tile_map, ["tile_x", "tile_y"], "left")
 
     def derive(pdf_iter):
         for pdf in pdf_iter:
-            inv_a, si_m = b.value
             out = []
             for row in pdf.itertuples(index=False):
                 lab = np.asarray(row.data, dtype=np.float64)
                 finite = np.isfinite(lab)
-                ids = lab[finite].astype(np.int64)
                 ia = np.full(lab.shape, np.nan)
                 sv = np.full(lab.shape, np.nan)
-                ia[finite] = [inv_a[int(x)] for x in ids]
-                sv[finite] = [si_m[int(x)] for x in ids]
+                if row.m is not None and len(row.m) and finite.any():
+                    trips = [
+                        (e["patch_id"], e["inv_area"], e["si"])
+                        if isinstance(e, dict)
+                        else (e[0], e[1], e[2])
+                        for e in row.m
+                    ]
+                    m_id = np.array([t[0] for t in trips], dtype=np.int64)
+                    m_ia = np.array([t[1] for t in trips])
+                    m_si = np.array([t[2] for t in trips])
+                    order = np.argsort(m_id)
+                    m_id, m_ia, m_si = m_id[order], m_ia[order], m_si[order]
+                    ids = lab[finite].astype(np.int64)
+                    pos = np.clip(np.searchsorted(m_id, ids), 0, len(m_id) - 1)
+                    ia[finite] = m_ia[pos]
+                    sv[finite] = m_si[pos]
                 for band, data in (("inv_area", ia), ("si", sv)):
                     out.append(
                         {
@@ -412,7 +516,7 @@ def derive_patch_planes(
                 columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"],
             )
 
-    return label_tiles.mapInPandas(derive, tiling.TILES_SCHEMA)
+    return joined.mapInPandas(derive, tiling.TILES_SCHEMA)
 
 
 def apply_patch_stats(

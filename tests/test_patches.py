@@ -160,6 +160,11 @@ def test_build_patches_matches_global(spark, raster, brute, force_distributed):
         assert row.area == area[bid], f"area mismatch patch {gid}"
         assert row.perimeter == perim[bid], f"perimeter mismatch patch {gid}"
         assert row.klass == klass[bid]
+    # canonical ids: patch_id == min global cell index (gy·2^32 + gx)
+    for gid, bid in mapping.items():
+        ys, xs = np.where(lab == bid)
+        want_id = int(np.min(ys.astype(np.int64) * (1 << 32) + xs))
+        assert gid == want_id, f"non-canonical id {gid} != {want_id}"
     # fixture sanity: patches DO cross tile borders
     crossing = 0
     for bid in range(n):
@@ -185,6 +190,32 @@ def test_patch_stats_edge_corrected(spark, raster, brute, shape, r):
     ):
         got = fixtures.array_from_tiles_rows(pdf[pdf.band == band], T)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12, err_msg=band)
+
+
+def test_build_patches_many_patches_distributed(spark):
+    """Scale guard: the fully-distributed W14 path (fixpoint equivalence
+    + join-based relabel) on a raster with >10^5 patches — nothing on
+    this path may materialize per-patch state on the driver."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 16, (512, 512)).astype(np.float64)
+    full_lab, n_full = patches.label_tile(arr)  # trusted via matches_bfs
+    assert n_full > 100_000
+    T = 64
+    label_tiles, patch_table = patches.build_patches(
+        tiles_df(spark, arr, T), T, spark, force_distributed=True
+    )
+    assert patch_table.count() == n_full
+    # spot-check canonical labels on one tile against the full-array CCL
+    one = label_tiles.filter(
+        (F.col("tile_x") == 3) & (F.col("tile_y") == 2)
+    ).toPandas()
+    got = np.asarray(one.iloc[0].data, dtype=np.float64).reshape(T, T)
+    sub_lab = full_lab[2 * T : 3 * T, 3 * T : 4 * T]
+    for bid in np.unique(sub_lab[sub_lab >= 0])[:50]:
+        ys, xs = np.where(full_lab == bid)
+        want_id = float(np.min(ys.astype(np.int64) * (1 << 32) + xs))
+        sel = sub_lab == bid
+        assert (got[sel] == want_id).all()
 
 
 def test_patch_stats_tile_size_invariance(spark, raster):
