@@ -148,6 +148,36 @@ def raster_fixture(
     return arr
 
 
+def raster_arith(size: int = 64, n_sites: int = 12) -> np.ndarray:
+    """SQL-expressible deterministic class raster (no RNG): Voronoi
+    cells of hash-placed sites (classes = site index mod 4, strict-min
+    tie → smallest site), 5%-rate hash speckle nodata + one solid 4×4
+    nodata block straddling the y=16 tile seam. Same character as
+    raster_fixture, but every value is integer/double arithmetic the
+    DuckDB oracle regenerates exactly (engine/spatial_queries.py)."""
+    k = np.arange(1, n_sites + 1, dtype=np.int64)
+    sx = ((k * 2654435761) % 2**32) / 2**32 * size
+    sy = ((k * 2246822519) % 2**32) / 2**32 * size
+    klass = (k - 1) % 4
+    yy, xx = np.mgrid[0:size, 0:size]
+    d2 = np.full((size, size), np.inf)
+    lab = np.zeros((size, size), dtype=np.int64)
+    for s in range(n_sites):
+        dx = xx + 0.5 - sx[s]
+        dy = yy + 0.5 - sy[s]
+        dd = dx * dx + dy * dy
+        closer = dd < d2
+        d2[closer] = dd[closer]
+        lab[closer] = s
+    arr = klass[lab].astype(np.float64)
+    speckle = (
+        (xx.astype(np.int64) * 2654435761 + yy.astype(np.int64) * 40503 + 7) % 2**32
+    ) < 0.05 * 2**32
+    arr[speckle] = np.nan
+    arr[14:18, 30:34] = np.nan
+    return arr
+
+
 TILES_SCHEMA_DDL = (
     "tile_x int, tile_y int, level int, band string, "
     "nrows int, ncols int, data array<double>"

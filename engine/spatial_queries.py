@@ -254,13 +254,14 @@ FROM hits GROUP BY 1
 
 def sq_patch_stats(spark: SparkSession, sf: str) -> DataFrame:
     """W11–W14: distributed CCL + edge-corrected patch statistics over
-    the deterministic raster fixture (golden-tested per cell in
-    tests/test_patches.py; here summarized per tile for the driver)."""
+    the ARITHMETIC raster fixture (fixtures.raster_arith — DuckDB
+    regenerates the identical grid), summarized per tile. Also
+    golden-tested per cell in tests/test_patches.py."""
     from engine import fixtures, patches
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
-    arr = fixtures.raster_fixture(seed=42, size=64)
+    arr = fixtures.raster_arith(size=64)
     tiles = spark.createDataFrame(
         fixtures.tiles_rows_from_array(arr, 16, band="class"),
         fixtures.TILES_SCHEMA_DDL,
@@ -269,15 +270,106 @@ def sq_patch_stats(spark: SparkSession, sf: str) -> DataFrame:
     return _tile_summary(out)
 
 
+# Shared oracle CTEs regenerating fixtures.raster_arith (Voronoi of 12
+# hash-placed sites, class = site mod 4, hash speckle + solid nodata
+# block) and its rook CCL as a recursive reachability closure: a
+# component's label is its MIN cell id — exactly the engine's canonical
+# patch id (engine/patches.py build_patches).
+_RASTER_CCL_SQL = """
+sites AS (
+  SELECT k,
+         ((k * 2654435761) % 4294967296) / 4294967296 * 64 AS sx,
+         ((k * 2246822519) % 4294967296) / 4294967296 * 64 AS sy,
+         (k - 1) % 4 AS klass
+  FROM range(1, 13) t(k)
+),
+grid0 AS (SELECT x.i AS i, y.j AS j FROM range(0, 64) x(i), range(0, 64) y(j)),
+vor AS (
+  SELECT i, j, klass FROM (
+    SELECT g.i, g.j, s.klass,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.i, g.j
+             ORDER BY (g.i + 0.5 - s.sx) * (g.i + 0.5 - s.sx)
+                      + (g.j + 0.5 - s.sy) * (g.j + 0.5 - s.sy), s.k
+           ) AS rn
+    FROM grid0 g CROSS JOIN sites s
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT i, j, klass, j * 64 + i AS id
+  FROM vor
+  WHERE NOT (((i * 2654435761 + j * 40503 + 7) % 4294967296) < 0.05 * 4294967296)
+    AND NOT (i BETWEEN 30 AND 33 AND j BETWEEN 14 AND 17)
+),
+adj AS (
+  SELECT a.id AS a, b.id AS b
+  FROM cells a JOIN cells b ON a.klass = b.klass
+   AND ((ABS(a.i - b.i) = 1 AND a.j = b.j) OR (a.i = b.i AND ABS(a.j - b.j) = 1))
+),
+reach AS (
+  SELECT id, id AS lab FROM cells
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN adj e ON e.a = r.id
+),
+roots AS (SELECT id, MIN(lab) AS root FROM reach GROUP BY id)
+"""
+
+# W11–W13 edge-corrected focal stats, contribution form over the
+# derived planes (inv_area = 1/patch area, si = 0.25·perim/√area):
+#   mean_patch_size = n/Σinv_area, patch_density = Σinv_area/n,
+#   awmsi = Σsi/n over valid cells in the Chebyshev-3 window.
+SQ_PATCH_STATS_SQL = f"""
+WITH RECURSIVE {_RASTER_CCL_SQL},
+deg AS (
+  SELECT c.id, COUNT(e.b) AS d FROM cells c LEFT JOIN adj e ON e.a = c.id GROUP BY c.id
+),
+pt AS (
+  SELECT r.root, COUNT(*) AS area, SUM(4 - d.d) AS perimeter
+  FROM roots r JOIN deg d ON d.id = r.id GROUP BY r.root
+),
+planes AS (
+  SELECT c.i, c.j, 1.0 / pt.area AS inv_area,
+         0.25 * pt.perimeter / SQRT(CAST(pt.area AS DOUBLE)) AS si
+  FROM cells c JOIN roots r ON r.id = c.id JOIN pt ON pt.root = r.root
+),
+offs AS (SELECT a.di AS di, b.dj AS dj FROM range(-3, 4) a(di), range(-3, 4) b(dj)),
+contrib AS (
+  SELECT p.i + o.di AS ci, p.j + o.dj AS cj,
+         COUNT(*) AS n, SUM(p.inv_area) AS s_inv, SUM(p.si) AS s_si
+  FROM planes p CROSS JOIN offs o
+  GROUP BY 1, 2
+),
+focal AS (
+  SELECT g.i // 16 AS tx, g.j // 16 AS ty, c.n AS n, c.s_inv AS s_inv, c.s_si AS s_si
+  FROM grid0 g LEFT JOIN contrib c ON c.ci = g.i AND c.cj = g.j
+)
+SELECT CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+       'mean_patch_size' AS band, COUNT(n) AS n_valid,
+       ROUND(COALESCE(SUM(n / s_inv), 0.0), 4) AS tile_sum
+FROM focal GROUP BY 1, 2
+UNION ALL
+SELECT CAST(tx AS INT), CAST(ty AS INT), 'patch_density',
+       COUNT(n), ROUND(COALESCE(SUM(s_inv / n), 0.0), 4)
+FROM focal GROUP BY 1, 2
+UNION ALL
+SELECT CAST(tx AS INT), CAST(ty AS INT), 'awmsi',
+       COUNT(n), ROUND(COALESCE(SUM(s_si / n), 0.0), 4)
+FROM focal GROUP BY 1, 2
+"""
+
+
 def sq_raster_to_vector(spark: SparkSession, sf: str) -> DataFrame:
     """M6 raster→vector: polygonize patch labels into boundary rings
-    (round-trip golden in tests/test_vector.py). Flat summary row per
-    patch: ring count, outer-ring vertex count, net area."""
+    (round-trip golden in tests/test_vector.py). Per patch: total
+    corner count Σ(n_pts−1) over all rings (holes included) and net
+    signed area (= the patch's cell count) — both SQL-predictable:
+    corners are the 2×2 vertex patterns with 1/3 patch cells (+2 for a
+    diagonal pinch), verified against the chained rings in tests."""
     from engine import fixtures, patches, vector
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
-    arr = fixtures.raster_fixture(seed=42, size=64)
+    arr = fixtures.raster_arith(size=64)
     tiles = spark.createDataFrame(
         fixtures.tiles_rows_from_array(arr, 16, band="class"),
         fixtures.TILES_SCHEMA_DDL,
@@ -285,23 +377,59 @@ def sq_raster_to_vector(spark: SparkSession, sf: str) -> DataFrame:
     label_tiles, _ = patches.build_patches(tiles, 16, spark)
     rings = vector.polygonize(label_tiles, 16)
     return rings.groupBy("patch_id").agg(
-        F.count(F.lit(1)).alias("n_rings"),
-        F.sum(F.when(F.col("is_outer"), F.col("n_pts"))).alias("outer_pts"),
+        F.sum(F.col("n_pts").cast("long") - 1).alias("n_corners"),
         F.round(F.sum("signed_area"), 1).alias("net_area"),
     )
 
 
+SQ_RASTER_TO_VECTOR_SQL = f"""
+WITH RECURSIVE {_RASTER_CCL_SQL},
+labelled AS (SELECT c.i, c.j, r.root FROM cells c JOIN roots r ON r.id = c.id),
+quads AS (
+  SELECT root, i + 1 AS vx, j + 1 AS vy, 1 AS q FROM labelled  -- cell NW of vertex
+  UNION ALL SELECT root, i, j + 1, 2 FROM labelled             -- cell NE
+  UNION ALL SELECT root, i + 1, j, 4 FROM labelled             -- cell SW
+  UNION ALL SELECT root, i, j, 8 FROM labelled                 -- cell SE
+),
+verts AS (
+  SELECT root, vx, vy, COUNT(*) AS cnt, SUM(q) AS qsum
+  FROM quads GROUP BY 1, 2, 3
+),
+corners AS (
+  SELECT root,
+         SUM(CASE WHEN cnt IN (1, 3) THEN 1
+                  WHEN cnt = 2 AND qsum IN (9, 6) THEN 2
+                  ELSE 0 END) AS n_corners
+  FROM verts GROUP BY root
+),
+areas AS (SELECT root, COUNT(*) AS area FROM labelled GROUP BY root)
+SELECT CAST((c.root // 64) * 4294967296 + c.root % 64 AS BIGINT) AS patch_id,
+       CAST(c.n_corners AS BIGINT) AS n_corners,
+       ROUND(CAST(a.area AS DOUBLE), 1) AS net_area
+FROM corners c JOIN areas a ON a.root = c.root
+"""
+
+
 def sq_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal span decode plumbing (stubbed decoder — no media libs
-    in this sandbox; see engine/multimodal.py): per-kind feature stats
-    over the interleaved corpus derived from the driver documents."""
-    from engine import fixtures, multimodal
+    """Multimodal span decode plumbing (decoder deliberately a
+    deterministic md5 stub — no media libs in this sandbox; see
+    engine/multimodal.py): the shim-interleaved corpus gets an extra
+    'image' span per doc (md5-derived ref), then the real mapInPandas
+    decode path runs over geo+image media and aggregates per kind.
+    The md5 stub makes the whole path SQL-expressible, so this is a
+    full value-checked oracle row, not rows-only."""
+    from engine import multimodal
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
-    # the driver documents carry no media spans — use the deterministic
-    # interleaved fixture corpus (text + geo + image spans, seeded)
-    docs = fixtures.documents_geo(spark, 500, seed=42)
+    docs = shim.documents_interleaved(spark, sf)
+    img_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("img:"), F.substring(F.md5("doc_id"), 1, 12)).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    docs = docs.withColumn("spans", F.concat("spans", F.array(img_span)))
     feats = multimodal.extract_media_features(docs, kinds=("image", "geo"))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -311,12 +439,47 @@ def sq_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _md5_byte_sql(expr: str, k: int) -> str:
+    """SQL for byte k of md5(expr) (hex-digit expansion — no unhex in
+    the pinned DuckDB)."""
+    d1 = f"(strpos('0123456789abcdef', substr(md5({expr}), {2 * k + 1}, 1)) - 1)"
+    d2 = f"(strpos('0123456789abcdef', substr(md5({expr}), {2 * k + 2}, 1)) - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+def _multimodal_oracle_sql() -> str:
+    bytes_ = [_md5_byte_sql("ref", k) for k in range(8)]
+    # feature element k = float32(byte_k / 255) summed in array order
+    # (matches the stub's float32 cast and Spark's left fold exactly)
+    fsum = " + ".join(
+        f"CAST(CAST({b} AS REAL) / CAST(255.0 AS REAL) AS DOUBLE)" for b in bytes_
+    )
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {shim.SHIM_LAT_SQL} AS lat, {shim.SHIM_LON_SQL} AS lon
+  FROM documents
+),
+media AS (
+  SELECT 'geo' AS kind,
+         'geo:' || printf('%.6f', lat) || ',' || printf('%.6f', lon) AS ref
+  FROM pts
+  UNION ALL
+  SELECT 'image', 'img:' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) FROM pts
+)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(64 + {_md5_byte_sql("ref", 0)} * 8) AS BIGINT) AS width_sum,
+       CAST(SUM(1 + {_md5_byte_sql("ref", 2)} % 32) AS BIGINT) AS frames_sum,
+       ROUND(SUM(0.0 + {fsum}), 4) AS feat_sum
+FROM media GROUP BY kind
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
     "sq_focal_multi": (sq_focal_multi, SQ_FOCAL_MULTI_SQL),
     "sq_pip_polygons": (sq_pip_polygons, _pip_oracle_sql()),
-    "sq_patch_stats": (sq_patch_stats, None),
-    "sq_raster_to_vector": (sq_raster_to_vector, None),
-    "sq_multimodal_features": (sq_multimodal_features, None),
+    "sq_patch_stats": (sq_patch_stats, SQ_PATCH_STATS_SQL),
+    "sq_raster_to_vector": (sq_raster_to_vector, SQ_RASTER_TO_VECTOR_SQL),
+    "sq_multimodal_features": (sq_multimodal_features, _multimodal_oracle_sql()),
 }
