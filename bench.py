@@ -8,6 +8,17 @@ JSON line:
     {"metric": "tiles_per_sec_focal_circle_r7", "value": N,
      "unit": "tiles/sec", "queries": {<name>: sec, ...}, "sf": 0.1, ...}
 
+Measurement isolation (round-2 fix): every headline leg runs in its own
+FRESH JVM via ``spark-submit --py-files engine.zip`` (the
+engine.bench_scaling runner) — inside that JVM the leg executes once to
+warm codegen/JIT/Python workers, a full GC clears the warmup's garbage,
+and the second execution is timed. Rationale: round-1 timed the second
+run in one shared long-lived JVM, where G1 humongous-allocation cycles
+against a garbage-full old gen degraded consecutive runs 3-5×
+(diagnosed: forced GC restores ~5× throughput; see
+engine/bench_jobs.force_gc). The recorded headline now measures the
+operator, not the allocator's backlog.
+
 Headline legs (deterministic synthetic inputs, materialized before the
 timed section — engine/bench_jobs.py):
   focal      circular-kernel r=7 focal mean over a dense 2048-tile
@@ -16,11 +27,11 @@ timed section — engine/bench_jobs.py):
   pip        broadcast-cover + exact-refine point-in-polygon join —
              the BASELINE.json join rows/sec metric
 plus every driver-contract query from __spark_entry__.queries() timed
-against the sf tables.
+against the sf tables (one shared session — they are small).
 
 Scaling-efficiency evidence (N vs 4N parallelism) is produced by
-BENCH/run_scaling.py, which reuses the same legs; its latest result is
-folded into this JSON when present.
+``python -m engine.bench_scaling``, which reuses the same legs; its
+latest result is folded into this JSON when present.
 """
 
 from __future__ import annotations
@@ -45,42 +56,30 @@ def main() -> None:
     )
     os.makedirs(scratch, exist_ok=True)
 
-    from engine import bench_jobs
-    from engine.deploy import ensure_shipped
+    from engine import bench_scaling
+    from engine.deploy import build_zip, ensure_shipped
     from engine.session import get_spark
 
-    spark = get_spark("bench", cores=cpus)
-    ensure_shipped(spark)
-
+    zip_path = build_zip()
     t_all = time.perf_counter()
     queries: dict[str, float] = {}
 
-    def steady(fn):
-        # same discipline as the scaling harness: the first run per JVM
-        # pays codegen/JIT/python-worker spin-up; time the second
-        fn()
-        return fn()
-
-    # --- headline legs -----------------------------------------------------
-    ny = max(int(32 * scale), 2)
-    n_tiles, s_focal = steady(
-        lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
-    )
-    queries["focal_circle_r7_2048tiles"] = round(s_focal, 3)
-
-    n_docs, n_ptiles, s_pipe = steady(
-        lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(1_000_000 * scale))
-    )
-    queries["pipeline_docs_to_stats"] = round(s_pipe, 3)
-
-    n_pts, n_pip_rows, s_pip = steady(
-        lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(4_000_000 * scale))
-    )
-    queries["pip_join_4m_points"] = round(s_pip, 3)
+    # --- headline legs: one fresh JVM each ---------------------------------
+    legs: dict[str, dict] = {}
+    for leg in ("focal", "pipeline", "pip"):
+        r = bench_scaling._submit_one(  # noqa: SLF001
+            cpus, scale, scratch, zip_path, legs=(leg,), preset="bench"
+        )
+        legs[leg] = r[leg]
+    queries["focal_circle_r7_2048tiles"] = round(legs["focal"]["sec"], 3)
+    queries["pipeline_docs_to_stats"] = round(legs["pipeline"]["sec"], 3)
+    queries["pip_join_4m_points"] = round(legs["pip"]["sec"], 3)
 
     # --- driver-contract queries at sf_dir ---------------------------------
     import __spark_entry__ as entrymod
 
+    spark = get_spark("bench", cores=cpus)
+    ensure_shipped(spark)
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         try:
@@ -95,20 +94,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "tiles_per_sec_focal_circle_r7",
-        "value": round(n_tiles / s_focal, 2),
+        "value": round(legs["focal"]["per_sec"], 2),
         "unit": "tiles/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "total_sec": round(total, 2),
         "throughput": {
-            "focal_tiles_per_sec": round(n_tiles / s_focal, 2),
-            "pipeline_docs_per_sec": round(n_docs / s_pipe, 2),
-            "pipeline_out_tiles": n_ptiles,
-            "pip_join_rows_per_sec": round(n_pip_rows / s_pip, 2),
-            "pip_join_out_rows": n_pip_rows,
-            "pip_join_in_rows": n_pts,
+            "focal_tiles_per_sec": round(legs["focal"]["per_sec"], 2),
+            "pipeline_docs_per_sec": round(legs["pipeline"]["per_sec"], 2),
+            "pipeline_out_tiles": legs["pipeline"]["out_tiles"],
+            "pip_join_rows_per_sec": round(legs["pip"]["per_sec"], 2),
+            "pip_join_out_rows": legs["pip"]["rows"],
+            "pip_join_in_rows": legs["pip"]["in_rows"],
         },
+        "isolation": "fresh JVM per headline leg; warm run + full GC before the timed run",
     }
 
     # fold in the latest N-vs-4N scaling evidence if the harness ran

@@ -30,6 +30,21 @@ from engine import fixtures, joins, tiling, udfs
 TILES_DDL = fixtures.TILES_SCHEMA_DDL
 
 
+def force_gc(spark: SparkSession) -> None:
+    """Full JVM GC (+ a beat for concurrent cycles to finish).
+
+    Measured on this box (BENCH r2 diagnosis): consecutive focal runs
+    in one JVM land anywhere from 29 to 127 tiles/s because G1 keeps
+    hitting 'Humongous Allocation'-triggered concurrent cycles against
+    a garbage-full old gen — allocation stalls, not GC pauses, eat the
+    wall time (pauses totalled 14 s while runs lost minutes). A full GC
+    immediately before the timed run restores a stable 170-260 tiles/s.
+    Spark's own spark.cleaner.periodicGC.interval does the same for
+    long-lived sessions, just not aligned with run starts."""
+    spark.sparkContext._jvm.java.lang.System.gc()  # noqa: SLF001
+    time.sleep(1.0)
+
+
 def _materialize(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:

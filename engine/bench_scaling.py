@@ -55,7 +55,21 @@ def _scratch() -> str:
     return s
 
 
-def run_legs(cores: int, scale: float, scratch: str) -> dict:
+# leg input sizes per preset: "scaling" = the N-vs-4N harness (big,
+# noise-resistant); "bench" = the per-round driver bench (smaller)
+PRESETS = {
+    "scaling": {"ny": 48, "pip_points": 128_000_000, "pipe_docs": 32_000_000},
+    "bench": {"ny": 32, "pip_points": 4_000_000, "pipe_docs": 1_000_000},
+}
+
+
+def run_legs(
+    cores: int,
+    scale: float,
+    scratch: str,
+    legs: tuple[str, ...] = ("focal", "pip", "pipeline"),
+    preset: str = "scaling",
+) -> dict:
     from engine import bench_jobs
     from engine.session import get_spark
 
@@ -65,29 +79,35 @@ def run_legs(cores: int, scale: float, scratch: str) -> dict:
 
     def steady(fn):
         # first execution per JVM pays codegen/JIT/python-worker spin-up
-        # (measured 2-3x slower than steady state); the criterion is about
-        # sustained job throughput, so warm once, time the second run
+        # (measured 2-3x slower than steady state); a FULL GC then
+        # clears the warmup's garbage so the timed run doesn't stall on
+        # G1 humongous-allocation cycles (bench_jobs.force_gc — the
+        # round-1 run-over-run 127->47->28 tiles/s mystery)
         fn()
+        bench_jobs.force_gc(spark)
         return fn()
 
-    ny = max(int(48 * scale), 2)
-    n_tiles, s_focal = steady(
-        lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
-    )
-    n_pts, n_pip, s_pip = steady(
-        lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(128_000_000 * scale))
-    )
-    n_docs, n_ptiles, s_pipe = steady(
-        lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(32_000_000 * scale))
-    )
-    return {
-        "cores": cores,
-        "focal": {"tiles": n_tiles, "sec": s_focal, "per_sec": n_tiles / s_focal},
-        "pip": {"rows": n_pip, "sec": s_pip, "per_sec": n_pip / s_pip,
-                "in_rows": n_pts},
-        "pipeline": {"docs": n_docs, "sec": s_pipe, "per_sec": n_docs / s_pipe,
-                     "out_tiles": n_ptiles},
-    }
+    sz = PRESETS[preset]
+    out: dict = {"cores": cores}
+    if "focal" in legs:
+        ny = max(int(sz["ny"] * scale), 2)
+        n_tiles, s_focal = steady(
+            lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
+        )
+        out["focal"] = {"tiles": n_tiles, "sec": s_focal, "per_sec": n_tiles / s_focal}
+    if "pip" in legs:
+        n_pts, n_pip, s_pip = steady(
+            lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(sz["pip_points"] * scale))
+        )
+        out["pip"] = {"rows": n_pip, "sec": s_pip, "per_sec": n_pip / s_pip,
+                      "in_rows": n_pts}
+    if "pipeline" in legs:
+        n_docs, n_ptiles, s_pipe = steady(
+            lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(sz["pipe_docs"] * scale))
+        )
+        out["pipeline"] = {"docs": n_docs, "sec": s_pipe, "per_sec": n_docs / s_pipe,
+                           "out_tiles": n_ptiles}
+    return out
 
 
 def _cpu_pin(cores: int) -> list[str]:
@@ -118,6 +138,8 @@ def _cpu_pin(cores: int) -> list[str]:
 def _submit_one(
     cores: int, scale: float, scratch: str, zip_path: str,
     materialize: bool = False,
+    legs: tuple[str, ...] | None = None,
+    preset: str = "scaling",
 ) -> dict:
     cmd = ([] if materialize else _cpu_pin(cores)) + [
         SPARK_SUBMIT,
@@ -129,8 +151,10 @@ def _submit_one(
         "--py-files", zip_path,
         os.path.abspath(__file__),
         "--runner", "--cores", str(cores), "--scale", str(scale),
-        "--scratch", scratch,
+        "--scratch", scratch, "--preset", preset,
     ]
+    if legs:
+        cmd += ["--legs", ",".join(legs)]
     if materialize:
         cmd.append("--materialize")
     out = subprocess.run(
@@ -247,9 +271,12 @@ legs are the most exposed to the host's intermittent noise windows —
 asymmetric by design, stated here so the report matches scaling.json),
 fresh JVM per run via `spark-submit --py-files engine.zip` (command:
 `{result["submit"]}`), identical materialized inputs, timing excludes
-JVM start-up; each leg runs twice per JVM and the steady-state second
-run is timed (the first pays codegen/JIT/Python-worker spin-up — a
-per-executor constant on a real cluster, not a throughput term).
+JVM start-up; each leg runs twice per JVM with a FULL GC in between and
+the steady-state second run is timed (the first pays codegen/JIT/
+Python-worker spin-up — a per-executor constant on a real cluster, not
+a throughput term; the GC clears the warmup's garbage so the timed run
+does not stall on G1 humongous-allocation cycles — diagnosed round 2,
+see engine/bench_jobs.force_gc).
 
 Each level runs under `taskset` pinned to exactly N CPUs (taken above
 CPU 0, which services the VM's interrupts): an unpinned `local[N]` UDF
@@ -299,6 +326,8 @@ def main() -> None:
                     default=float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1.0")))
     ap.add_argument("--scratch", default=None)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--legs", default="focal,pip,pipeline")
+    ap.add_argument("--preset", default="scaling", choices=sorted(PRESETS))
     args = ap.parse_args()
 
     if args.runner:
@@ -313,7 +342,10 @@ def main() -> None:
             bench_jobs.ensure_inputs(spark, scratch, args.scale)
             print(json.dumps({"materialized": True}))
         else:
-            print(json.dumps(run_legs(args.cores, args.scale, scratch)))
+            legs = tuple(x for x in args.legs.split(",") if x)
+            print(json.dumps(
+                run_legs(args.cores, args.scale, scratch, legs, args.preset)
+            ))
     else:
         if _REPO not in sys.path:
             sys.path.insert(0, _REPO)

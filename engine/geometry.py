@@ -69,26 +69,77 @@ def polygon_bbox(ring: list[dict]) -> tuple[float, float, float, float]:
     return float(rlat.min()), float(rlat.max()), float(rlon.min()), float(rlon.max())
 
 
+def _edge_supercover(x0: float, y0: float, x1: float, y1: float) -> tuple[np.ndarray, np.ndarray]:
+    """All (ix, iy) unit-grid cells a segment passes through or touches
+    (conservative supercover: both neighbors at every gridline crossing
+    are included, so float rounding can never drop a clipped cell)."""
+    ts = [np.array([0.0, 1.0])]
+    dx, dy = x1 - x0, y1 - y0
+    for p0, d in ((x0, dx), (y0, dy)):
+        if d != 0.0:
+            lo, hi = sorted((p0, p0 + d))
+            ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+            ts.append((ks - p0) / d)
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    mids = (t[:-1] + t[1:]) / 2.0
+    pts_t = np.concatenate([mids, t])  # midpoints + the crossings themselves
+    xs = x0 + pts_t * dx
+    ys = y0 + pts_t * dy
+    ix = np.floor(xs).astype(np.int64)
+    iy = np.floor(ys).astype(np.int64)
+    # at a crossing, include both adjacent cells in each dimension
+    on_x = xs == np.floor(xs)
+    on_y = ys == np.floor(ys)
+    ix_all = np.concatenate([ix, ix[on_x] - 1, ix[on_y]])
+    iy_all = np.concatenate([iy, iy[on_x], iy[on_y] - 1])
+    return ix_all, iy_all
+
+
 def polygon_cell_cover(ring: list[dict], level: int) -> np.ndarray:
-    """C7: conservative superset of level-`level` cells containing any
-    point of the polygon's interior/boundary: every cell intersecting
-    the ring's bbox (polygons are small relative to cells in practice;
-    the exact PIP refine removes false positives). Handles antimeridian
-    rings via wrapped i-ranges. Returns sorted unique packed cell ids."""
+    """C7: the level-`level` cells intersecting the polygon — refined
+    cover (round 2; the round-1 version returned the full bbox cell
+    set, inflating J1 candidates by the bbox/polygon area ratio for
+    concave shapes): supercover grid traversal of every ring edge ∪
+    cells whose center is inside the polygon. Any cell intersecting the
+    polygon either contains boundary (→ traversed) or is entirely
+    interior (→ center inside), so this stays a strict superset of the
+    true intersection set while dropping bbox-only cells. Handles
+    antimeridian rings via lon wrap at emission. Returns sorted unique
+    packed cell ids."""
     from engine import grid
 
+    rlat, rlon = _ring_arrays(ring)
     lat_lo, lat_hi, lon_lo, lon_hi = polygon_bbox(ring)
     nc, nr = grid.grid_shape(level)
     dlon = 360.0 / nc
     dlat = 180.0 / nr
+    # boundary cells: supercover of each edge in continuous grid coords
+    xs = (rlon + 180.0) / dlon
+    ys = (rlat + 90.0) / dlat
+    bi: list[np.ndarray] = []
+    bj: list[np.ndarray] = []
+    for k in range(len(xs) - 1):
+        ix, iy = _edge_supercover(xs[k], ys[k], xs[k + 1], ys[k + 1])
+        bi.append(ix)
+        bj.append(iy)
+    # interior cells: bbox candidates whose CENTER is inside the ring
     j_lo = max(0, int(np.floor((lat_lo + 90.0) / dlat)))
     j_hi = min(nr - 1, int(np.floor((lat_hi + 90.0) / dlat)))
     i_lo = int(np.floor((lon_lo + 180.0) / dlon))
     i_hi = int(np.floor((lon_hi + 180.0) / dlon))
-    ii = np.arange(i_lo, i_hi + 1, dtype=np.int64) % nc
-    jj = np.arange(j_lo, j_hi + 1, dtype=np.int64)
-    gi, gj = np.meshgrid(np.unique(ii), jj, indexing="ij")
-    ids = grid.cell_id_pack(
-        grid._morton_encode(gi.ravel(), gj.ravel(), level), level
+    gi, gj = np.meshgrid(
+        np.arange(i_lo, i_hi + 1, dtype=np.int64),
+        np.arange(j_lo, j_hi + 1, dtype=np.int64),
+        indexing="ij",
     )
+    gi, gj = gi.ravel(), gj.ravel()
+    c_lat = (gj + 0.5) * dlat - 90.0
+    c_lon = (gi + 0.5) * dlon - 180.0
+    inside = point_in_polygon(c_lat, c_lon, ring)
+    ii = np.concatenate(bi + [gi[inside]])
+    jj = np.concatenate(bj + [gj[inside]])
+    ok = (jj >= 0) & (jj < nr)
+    ii = np.mod(ii[ok], nc)
+    jj = jj[ok]
+    ids = grid.cell_id_pack(grid._morton_encode(ii, jj, level), level)
     return np.unique(ids)

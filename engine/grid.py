@@ -203,6 +203,83 @@ def cell_descendant_range(cell_id: int, level: int) -> tuple[int, int]:
     return int(cell_id_pack(lo, level)), int(cell_id_pack(hi, level))
 
 
+def bbox_to_ij_bounds(
+    lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float, level: int
+) -> tuple[list[tuple[int, int]], tuple[int, int]]:
+    """Half-open bbox → the (i, j) bounds of every intersecting cell:
+    ([one or two inclusive i-intervals], (j0, j1)). Two i-intervals when
+    the box crosses the antimeridian (lon_lo > lon_hi)."""
+    nc, nr = grid_shape(level)
+    dlon, dlat = 360.0 / nc, 180.0 / nr
+    j0 = max(0, int(np.floor((lat_lo + 90.0) / dlat)))
+    j1 = min(nr - 1, int(np.floor((lat_hi + 90.0) / dlat - 1e-12)))
+    i0 = int(np.floor((lon_lo + 180.0) / dlon)) % nc
+    i1 = int(np.floor((lon_hi + 180.0) / dlon - 1e-12)) % nc
+    if i0 <= i1:
+        iv = [(i0, i1)]
+    else:  # antimeridian wrap
+        iv = [(i0, nc - 1), (0, i1)]
+    return iv, (j0, j1)
+
+
+def bbox_to_cell_ranges(
+    lat_lo: float,
+    lat_hi: float,
+    lon_lo: float,
+    lon_hi: float,
+    level: int,
+    max_ranges: int = 256,
+) -> list[tuple[int, int]]:
+    """P3/P4 planner: compile a bbox into a minimal set of contiguous
+    cell-id BETWEEN ranges at ``level`` — the range-contiguity payoff
+    of the Morton layout (cell-sorted/partitioned tables prune on
+    these; SURVEY.md §2.2).
+
+    Quadtree descent: an ancestor cell fully inside the (i, j) box
+    emits its whole descendant range (one interval); a partial overlap
+    recurses; disjoint prunes. The union of returned ranges covers
+    EXACTLY the box's cells when the budget allows; if the
+    decomposition would exceed ``max_ranges``, partially-covered
+    ancestors emit whole (superset) ranges — callers needing exactness
+    keep the residual (i, j) predicate as refine (the standard
+    coarse-prune + exact-filter split)."""
+    ivs, (j0, j1) = bbox_to_ij_bounds(lat_lo, lat_hi, lon_lo, lon_hi, level)
+    if j0 > j1:
+        return []
+    out: list[tuple[int, int]] = []
+
+    def boxes_overlap(a0, a1, b0, b1):
+        return a0 <= b1 and b0 <= a1
+
+    for i0, i1 in ivs:
+        # stack of (lvl, i, j) ancestor cells, from the 2×1 level-1 grid
+        stack = [(1, i, 0) for i in range(2)]
+        while stack:
+            lvl, ci, cj = stack.pop()
+            shift = level - lvl
+            bi0, bi1 = ci << shift, ((ci + 1) << shift) - 1
+            bj0, bj1 = cj << shift, ((cj + 1) << shift) - 1
+            if not (boxes_overlap(bi0, bi1, i0, i1) and boxes_overlap(bj0, bj1, j0, j1)):
+                continue
+            full = i0 <= bi0 and bi1 <= i1 and j0 <= bj0 and bj1 <= j1
+            if full or lvl == level or len(out) >= max_ranges:
+                cid = int(cell_id_pack(_morton_encode(
+                    np.asarray([ci]), np.asarray([cj]), lvl)[0], lvl))
+                out.append(cell_descendant_range(cid, level))
+                continue
+            for q in range(4):
+                stack.append((lvl + 1, ci * 2 + (q & 1), cj * 2 + (q >> 1)))
+    # merge adjacent/overlapping ranges (sibling quadrants are contiguous)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def k_ring(cell_id: int, k: int) -> np.ndarray:
     """All cells within Chebyshev distance k (the (2k+1)² block), with
     longitude wrap-around and latitude clamping (operator C5).

@@ -29,6 +29,7 @@ Checksums are order-insensitive exact sums of per-row xxhash64 values
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -143,82 +144,115 @@ class LakeTable:
         """Commit `df` as a new snapshot, resuming from any previously
         WAL-committed partitions of the same stage_key. Returns the
         snapshot dict. `df` MUST be deterministic per partition (the
-        resume contract)."""
-        stats_rows = (
-            df.groupBy(partition_col)
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.sum(
-                    F.xxhash64(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")
-                ).alias("checksum"),
-            )
-            .collect()
-        )
-        expected = {
-            str(r[partition_col]): {
-                "row_count": r["row_count"],
-                "checksum": str(r["checksum"]),
-            }
-            for r in stats_rows
+        resume contract).
+
+        Single-compute protocol (round-2 fix — the old flow ran a full
+        stats aggregation over `df` and then re-executed the identical
+        lineage for the write, 2× cost per stage): the lineage runs
+        EXACTLY ONCE, writing the pending partitions to tmp; per-
+        partition row counts + checksums are then derived by scanning
+        the WRITTEN parquet (an I/O-bound fraction of recomputing the
+        stage). A WAL entry is trusted iff its files still verify by
+        footer count AND its recorded lineage (inputs/params/
+        code_version) matches this call — the lineage guard replaces
+        the old fresh-recount cross-check."""
+        lin = {
+            "inputs": (lineage or {}).get("inputs", []),
+            "params": (lineage or {}).get("params", {}),
+            "code_version": code_version,
         }
-        done = self.wal_entries(stage_key)
         done = {
             p: e
-            for p, e in done.items()
-            if p in expected and e["row_count"] == expected[p]["row_count"]
+            for p, e in self.wal_entries(stage_key).items()
+            if e.get("lineage") == lin
         }
-        pending = sorted(set(expected) - set(done))
-        stage_data = os.path.join(self.data_dir, stage_key)
         skipped = len(done)
-        if pending:
-            tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
-            (
-                df.filter(F.col(partition_col).cast("string").isin(pending))
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(tmp)
+        stage_data = os.path.join(self.data_dir, stage_key)
+        os.makedirs(stage_data, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        w = df
+        if done:
+            w = df.filter(
+                ~F.col(partition_col).cast("string").isin(sorted(done))
             )
-            os.makedirs(stage_data, exist_ok=True)
+        w.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        # the written layout IS the pending-partition discovery
+        pending = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(tmp)
+            if d.startswith(f"{partition_col}=")
+            and os.path.isdir(os.path.join(tmp, d))
+        )
+        if pending:
+            back = spark.read.option("basePath", tmp).parquet(
+                *[os.path.join(tmp, f"{partition_col}={p}") for p in pending]
+            )
+            # restore the partition column's declared type (directory
+            # values are re-inferred) and the original column order so
+            # the checksum matches one computed over `df` directly
+            back = back.withColumn(
+                partition_col,
+                F.col(partition_col).cast(df.schema[partition_col].dataType),
+            )
+            stats_rows = (
+                back.groupBy(F.col(partition_col).cast("string").alias("_part"))
+                .agg(
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.sum(
+                        F.xxhash64(F.to_json(F.struct(*df.columns))).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("checksum"),
+                )
+                .collect()
+            )
+            stats = {
+                r["_part"]: {"row_count": r["row_count"], "checksum": str(r["checksum"])}
+                for r in stats_rows
+            }
             for part in pending:
                 src = os.path.join(tmp, f"{partition_col}={part}")
                 dst = os.path.join(stage_data, f"{partition_col}={part}")
-                if not os.path.isdir(src):
-                    # partition produced no rows — record empty
-                    files: list[str] = []
-                else:
-                    if os.path.isdir(dst):
-                        shutil.rmtree(dst)
-                    os.replace(src, dst)
-                    files = sorted(
-                        os.path.join(dst, f)
-                        for f in os.listdir(dst)
-                        if f.endswith(".parquet")
-                    )
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+                files = sorted(
+                    os.path.join(dst, f)
+                    for f in os.listdir(dst)
+                    if f.endswith(".parquet")
+                )
                 entry = {
                     "part": part,
                     "path": dst,
                     "files": files,
-                    "row_count": expected[part]["row_count"],
-                    "checksum": expected[part]["checksum"],
-                    "lineage": {
-                        "inputs": (lineage or {}).get("inputs", []),
-                        "params": (lineage or {}).get("params", {}),
-                        "code_version": code_version,
-                    },
+                    "row_count": stats[part]["row_count"],
+                    "checksum": stats[part]["checksum"],
+                    "lineage": lin,
                     "committed_at": time.time(),
                 }
                 _atomic_write_json(
                     os.path.join(self._wal_dir(stage_key), f"{part}.json"), entry
                 )
                 done[part] = entry
-            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         parent = self.latest_snapshot_id()
         sid = (parent or 0) + 1
+        # content-stable identity: equal data (per-partition checksums)
+        # → equal hash across reruns, regardless of snapshot ids —
+        # downstream stages cite THIS in their lineage so an identical
+        # rerun resumes while changed upstream data invalidates
+        content = hashlib.sha256(
+            "|".join(
+                f"{p}:{done[p]['row_count']}:{done[p]['checksum']}"
+                for p in sorted(done)
+            ).encode()
+        ).hexdigest()[:16]
         snap = {
             "snapshot_id": sid,
             "parent_id": parent,
             "stage_key": stage_key,
             "partition_col": partition_col,
+            "content_hash": content,
             "partitions": [done[p] for p in sorted(done)],
             "total_rows": sum(e["row_count"] for e in done.values()),
             "skipped_partitions": skipped,

@@ -72,7 +72,7 @@ def run_pipeline(
         pts,
         "part_id",
         "points",
-        {"inputs": [f"documents@{snaps['ingest']['snapshot_id']}"], "params": cfg.params()},
+        {"inputs": [f"documents#{snaps['ingest']['content_hash']}"], "params": cfg.params()},
     )
 
     pts_r = points_tbl.read(spark)
@@ -87,7 +87,7 @@ def run_pipeline(
         tiles,
         "bucket",
         "tiles",
-        {"inputs": [f"points@{snaps['points']['snapshot_id']}"], "params": cfg.params()},
+        {"inputs": [f"points#{snaps['points']['content_hash']}"], "params": cfg.params()},
     )
 
     tiles_r = tiles_tbl.read(spark).drop("bucket")
@@ -101,6 +101,6 @@ def run_pipeline(
         stats,
         "bucket",
         "stats",
-        {"inputs": [f"tiles@{snaps['tiles']['snapshot_id']}"], "params": cfg.params()},
+        {"inputs": [f"tiles#{snaps['tiles']['content_hash']}"], "params": cfg.params()},
     )
     return snaps

@@ -13,12 +13,14 @@ Numeric discipline:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine import shim, udfs
+from engine import grid, shim, udfs
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -306,6 +308,56 @@ GROUP BY 1, 2
 """
 
 
+def q30_cell_range_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """P3+P4 compiled: the bbox lat [5,35) × lon [100,140) becomes a
+    set of contiguous Morton cell-id BETWEEN ranges at level 8
+    (grid.bbox_to_cell_ranges — quadtree descent over the
+    range-contiguous id layout). The filter here is the OR of those
+    ranges, nothing else — the ranges cover the box's cells EXACTLY,
+    and on a cell-sorted parquet table the same predicate pushes down
+    to row-group pruning (tests/test_grid.py::test_range_pruning_plan
+    asserts PushedFilters + skipped row groups). Oracle: the
+    equivalent un-interleaved (i, j) box."""
+    level = 8
+    pts = _doc_points(spark, sf)
+    i, j = udfs.latlon_to_ij_cols(F.col("lat"), F.col("lon"), level)
+    # Arrow-batched Morton encode: the 55-range OR below references the
+    # cell_id ATTRIBUTE; inlining the Catalyst bit-interleave here would
+    # duplicate its (already self-duplicating) expression tree per range
+    # and blow codegen past the JIT method limit (engine/udfs.py)
+    d = (
+        pts.withColumn("i", i)
+        .withColumn("j", j)
+        .withColumn(
+            "cell_id", udfs.cell_encode_pudf(F.col("lat"), F.col("lon"), F.lit(level))
+        )
+    )
+    pred = None
+    for lo, hi in grid.bbox_to_cell_ranges(5.0, 35.0, 100.0, 140.0, level):
+        c = F.col("cell_id").between(lo, hi)
+        pred = c if pred is None else (pred | c)
+    return (
+        d.filter(pred)
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+Q30_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+cells AS (
+  SELECT doc_id,
+         ((CAST(FLOOR((lon + 180) / 360 * 256) AS BIGINT) % 256) + 256) % 256 AS i,
+         GREATEST(0, LEAST(127, CAST(FLOOR((lat + 90) / 180 * 128) AS BIGINT))) AS j
+  FROM pts
+)
+SELECT i, j, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM cells
+WHERE i BETWEEN 199 AND 227 AND j BETWEEN 67 AND 88
+GROUP BY i, j
+"""
+
+
 _KNN_QUERIES = [(0, 10.0, 20.0), (1, -30.0, -60.0), (2, 55.0, 150.0)]
 
 
@@ -484,6 +536,112 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.9 UDF-surface rows: grouped-agg pandas UDF (U5), iterator-scalar
+# heavy-init pandas UDF (U4), plus the A3 approx_count_distinct row.
+# ---------------------------------------------------------------------------
+
+def q31_grouped_agg_rms(spark: SparkSession, sf: str) -> DataFrame:
+    """U5 GROUPED_AGG pandas_udf: per-language RMS of document length.
+    Integer sum-of-squares keeps the aggregation order-independent and
+    bitwise cross-engine; one sqrt at extract."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def rms_udaf(v: pd.Series) -> float:
+        a = v.to_numpy(dtype=np.int64)
+        return math.sqrt(int((a * a).sum()) / len(a))
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg —
+        # the row count rides as a second pandas aggregation
+        return len(v)
+
+    d = _T(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        count_udaf("n_chars").alias("n_docs"),
+        F.round(rms_udaf("n_chars"), 6).alias("rms_chars"),
+    )
+
+
+Q31_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(SQRT(CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)), 6) AS rms_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q32_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 approx_count_distinct (HLL++): per-source exact distinct
+    content hashes plus a cross-checked 'approx within 5% of exact'
+    verdict — the exact count is the hash-compared value; the approx
+    path is exercised on both engines (different HLL implementations,
+    same accuracy contract)."""
+    d = _T(spark, sf, "documents")
+    exact = F.countDistinct(F.md5("text"))
+    approx = F.approx_count_distinct(F.md5("text"), rsd=0.02)
+    return d.groupBy("source").agg(
+        exact.alias("n_exact"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
+    )
+
+
+Q32_SQL = """
+SELECT source, COUNT(DISTINCT md5(text)) AS n_exact,
+       ABS(approx_count_distinct(md5(text)) - COUNT(DISTINCT md5(text)))
+         <= 0.05 * COUNT(DISTINCT md5(text)) AS approx_ok
+FROM documents GROUP BY source
+"""
+
+
+_STOPWORD_WEIGHTS = [
+    ("the", 1.0), ("a", 0.5), ("of", 1.0 / 3), ("and", 0.25),
+    ("to", 0.2), ("in", 1.0 / 6), ("is", 1.0 / 7), ("it", 0.125),
+]
+
+
+def q33_heavy_init_score(spark: SparkSession, sf: str) -> DataFrame:
+    """U4 iterator-scalar pandas_udf (Iterator[pd.Series] →
+    Iterator[pd.Series]): the weight table is built ONCE per Python
+    worker before the batch loop (the §2.9 heavy-init form —
+    stand-in for precomputed FFT plans / disk masks), then every Arrow
+    batch reuses it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def stopword_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weights = dict(_STOPWORD_WEIGHTS)  # heavy init: once per worker
+        for s in batches:
+            yield s.map(
+                lambda txt: sum(weights.get(t, 0.0) for t in str(txt).split())
+                / max(len(str(txt).split()), 1)
+            )
+
+    d = _T(spark, sf, "documents")
+    return d.withColumn("score", stopword_score("text")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("score"), 4).alias("score_sum"),
+    )
+
+
+def _q33_sql() -> str:
+    cases = " ".join(f"WHEN '{w}' THEN {v!r}" for w, v in _STOPWORD_WEIGHTS)
+    return rf"""
+WITH s AS (
+  SELECT lang,
+         list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> CASE t {cases} ELSE 0.0 END))
+         / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS score
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(SUM(score), 4) AS score_sum
+FROM s GROUP BY lang
+"""
+
+
 SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_topk_orders_per_customer": (q02_topk_orders_per_customer, Q02_SQL),
@@ -500,4 +658,8 @@ SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q13_exact_dedup": (q13_exact_dedup, Q13_SQL),
     "q14_quality_score": (q14_quality_score, Q14_SQL),
     "q15_embedding_topk": (q15_embedding_topk, Q15_SQL),
+    "q30_cell_range_pruning": (q30_cell_range_pruning, Q30_SQL),
+    "q31_grouped_agg_rms": (q31_grouped_agg_rms, Q31_SQL),
+    "q32_approx_distinct": (q32_approx_distinct, Q32_SQL),
+    "q33_heavy_init_score": (q33_heavy_init_score, _q33_sql()),
 }

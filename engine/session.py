@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.python.worker.reuse", "true")
+        # long-lived-session hygiene: without periodic full GCs, G1's
+        # humongous-allocation concurrent cycles against a garbage-full
+        # old gen degrade job throughput 3-5x run-over-run (see
+        # engine/bench_jobs.force_gc); also drives shuffle-file cleanup
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

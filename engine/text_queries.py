@@ -116,9 +116,25 @@ FROM pts WHERE lat BETWEEN -20 AND -8 AND (lon >= 172 OR lon <= 188 - 360)
 # q17: exact near-dup — token-set Jaccard pairs within a source
 # ---------------------------------------------------------------------------
 
+TOKEN_DF_CAP = 20  # per-source document-frequency cap on join tokens
+
+
 def q17_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-set Jaccard near-dup within source, over DF-CAPPED token
+    sets: tokens appearing in more than TOKEN_DF_CAP docs of a source
+    are dropped BEFORE the self-join (they carry no discriminative
+    Jaccard signal and their postings lists make the equi-join
+    quadratic on Zipf-hot tokens — the 100 TB skew guard). Sizes and
+    intersections both use the capped sets; oracle in lockstep."""
     d = _T(spark, sf, "documents").select("doc_id", "source", _toks(F.col("text")).alias("toks"))
-    dt = d.select("source", "doc_id", F.explode("toks").alias("tok")).distinct()
+    dt_all = d.select("source", "doc_id", F.explode("toks").alias("tok")).distinct()
+    hot = (
+        dt_all.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > TOKEN_DF_CAP)
+        .select("source", "tok")
+    )
+    dt = dt_all.join(hot, ["source", "tok"], "left_anti")
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (
@@ -139,8 +155,15 @@ def q17_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q17_SQL = f"""
-WITH dt AS (
+WITH dt_all AS (
   SELECT DISTINCT source, doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+dt AS (
+  SELECT source, doc_id, tok FROM (
+    SELECT source, doc_id, tok,
+           COUNT(*) OVER (PARTITION BY source, tok) AS df
+    FROM dt_all
+  ) WHERE df <= {TOKEN_DF_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
 inter AS (
@@ -559,79 +582,165 @@ _register_q24()
 
 
 # ---------------------------------------------------------------------------
-# q25: embedding-cosine near-dup (D-family dedup variant). Scale path:
-# sign-bit random-projection LSH — bucket = sign pattern of the first
-# SRP_BITS components (fixed axis-aligned hyperplanes, deterministic
-# cross-engine) — so the self-join is an equi-join on bucket, never a
-# cross join; exact cosine >= TAU refine inside the bucket. At 100 TB
-# the bucket join shuffles only same-signature vectors (expected bucket
-# size n/2^bits); recall is tunable via bits, as in any SRP-LSH dedup.
+# q25: embedding-cosine near-dup via REAL banded SRP-LSH (D14).
+#
+# Scale design (the round-1 version used 4 sign bits = 16 global
+# buckets, i.e. n²/16 candidate pairs — nominally bucketed, actually
+# quadratic): now SRP_BANDS=4 banded hash tables × SRP_ROWS=8
+# hyperplane sign bits each (32 deterministic pseudo-random
+# hyperplanes). A candidate pair must agree on ALL 8 bits of ≥1 band —
+# expected collisions for unrelated vectors ≈ 4·C(n,2)/2⁸, so the
+# band-key equi-join shuffles a ~64× sublinear candidate set (asserted
+# by tests/test_text_scale.py on the 10× fixture); near-dups (cos ≥
+# TAU) collide with probability ≈ 1−(1−p_bit⁸)⁴ ≈ 1 at θ ≲ 1°.
+#
+# The driver tables carry no true near-dups (max pairwise cos ≈ 0.51),
+# so the corpus is augmented with one deterministic perturbed clone per
+# vector (±0.05% per-dim scaling, pure arithmetic both engines) — the
+# standard eval trick for dedup recall, and the oracle builds the
+# identical corpus.
 # ---------------------------------------------------------------------------
 
-SRP_BITS = 4
-NEARDUP_TAU = 0.35
+SRP_BANDS = 4
+SRP_ROWS = 8
+NEARDUP_TAU = 0.98
+_CLONE_OFFSET = 1_000_000
+_DIM = 64
 
 
-def _srp_bucket(col: Column) -> Column:
-    b = F.lit(0)
-    for i in range(SRP_BITS):
-        b = b + F.when(F.element_at(col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return b.cast("long")
+def _neardup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    e = _T(spark, sf, "embeddings")
+    orig = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(_DIM - 1))
+    fac = lambda d: (  # noqa: E731
+        F.lit(1.0)
+        + F.lit(0.001)
+        * (
+            ((F.col("vec_id") * _DIM + d + 1) * F.lit(2654435761)) % F.lit(2**32)
+            / F.lit(float(2**32))
+            - F.lit(0.5)
+        )
+    )
+    clone = e.select(
+        (F.col("vec_id") + _CLONE_OFFSET).alias("vec_id"),
+        F.transform(
+            idx,
+            lambda d: F.element_at("embedding", d + 1).cast("double") * fac(d),
+        ).alias("emb"),
+    )
+    return orig.unionAll(clone)
+
+
+def _srp_signatures(corpus: DataFrame) -> DataFrame:
+    """(vec_id, band, key): key = 8-bit sign pattern of the band's
+    hyperplane dots. Hyperplane k component d = hashfrac(k·64+d+1)−0.5;
+    everything is JVM higher-order functions — no UDF."""
+    w = lambda k, d: (  # noqa: E731
+        ((k * _DIM + d + 1) * F.lit(2654435761)) % F.lit(2**32) / F.lit(float(2**32))
+        - F.lit(0.5)
+    )
+    dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_DIM - 1)),
+        F.lit(0.0),
+        lambda acc, d: acc + F.element_at("emb", d + 1) * w(F.col("k"), d),
+    )
+    return (
+        corpus.select("vec_id", "emb", F.explode(F.sequence(F.lit(0), F.lit(SRP_BANDS * SRP_ROWS - 1))).alias("k"))
+        .withColumn("dot", dot)
+        .groupBy("vec_id", (F.col("k") / SRP_ROWS).cast("int").alias("band"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.pow(F.lit(2.0), F.col("k") % SRP_ROWS).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("key")
+        )
+    )
+
+
+def neardup_candidates(corpus: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing ≥1 band bucket (the sublinear
+    LSH join — also exercised standalone by the scale test)."""
+    sig = _srp_signatures(corpus)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "key")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    # norm is computed once per VECTOR before the self-join (same
-    # double arithmetic as a per-pair norm, ~3x less work per pair)
-    nrm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    e = _T(spark, sf, "embeddings").select(
-        "vec_id",
-        "embedding",
-        _srp_bucket(F.col("embedding")).alias("bucket"),
-        nrm.alias("nrm"),
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "bucket", F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        "bucket", F.col("nrm").alias("nrm_b"),
-    )
+    corpus = _neardup_corpus(spark, sf)
+    cand = neardup_candidates(corpus)
+    ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))))
         .filter(F.col("cos_sim") >= NEARDUP_TAU)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 
 
-_BUCKET_SQL = (
-    f"list_sum(list_transform(range(0, {SRP_BITS}), i -> "
-    "CASE WHEN {e}[CAST(i + 1 AS INT)] > 0 THEN CAST(2 ** i AS BIGINT) "
-    "ELSE CAST(0 AS BIGINT) END))"
+_W_SQL = "((({k} * 64 + d + 1) * 2654435761) % 4294967296 / 4294967296 - 0.5)"
+
+_CORPUS_SQL = f"""
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_CLONE_OFFSET},
+         list_transform(range(0, {_DIM}), d ->
+           CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+           * (1.0 + 0.001 * (((vec_id * {_DIM} + d + 1) * 2654435761) % 4294967296
+                             / 4294967296 - 0.5)))
+  FROM embeddings
+"""
+
+_COS_D_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+    " * SQRT(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
 )
 
 Q25_SQL = f"""
-WITH n AS (
-  SELECT vec_id, embedding, {_BUCKET_SQL.format(e="embedding")} AS bucket
-  FROM embeddings
+WITH corpus AS ({_CORPUS_SQL}),
+sig AS (
+  SELECT vec_id, CAST(k // {SRP_ROWS} AS INT) AS band,
+         CAST(SUM(CASE WHEN
+           list_sum(list_transform(range(0, {_DIM}), d ->
+             emb[CAST(d + 1 AS INT)] * {_W_SQL.format(k="k")})) > 0
+           THEN CAST(2 ** (k % {SRP_ROWS}) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS key
+  FROM corpus CROSS JOIN range(0, {SRP_BANDS * SRP_ROWS}) t(k)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
-FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_TAU}
+SELECT c.vec_a, c.vec_b,
+       ROUND({_COS_D_SQL.format(a="ea.emb", b="eb.emb")}, 6) AS cos_sim
+FROM cand c
+JOIN corpus ea ON ea.vec_id = c.vec_a
+JOIN corpus eb ON eb.vec_id = c.vec_b
+WHERE {_COS_D_SQL.format(a="ea.emb", b="eb.emb")} >= {NEARDUP_TAU}
 """
 
 

@@ -351,6 +351,15 @@ def assemble_padded(
     return bands, nr, nc
 
 
+def _resolve_stat(name: str):
+    """KERNELS lookup + the parameterized W5 form ``proportion:<class>``
+    (fraction of valid cells in the window equal to <class>)."""
+    if name.startswith("proportion:"):
+        klass = float(name.split(":", 1)[1])
+        return lambda a, r, s, _k=klass: kernels.focal_proportion(a, r, _k, s)
+    return KERNELS[name]
+
+
 def apply_focal(
     tiles: DataFrame,
     r: int,
@@ -374,7 +383,7 @@ def apply_focal(
     if isinstance(stats, dict):
         fns = stats
     else:
-        fns = {s: KERNELS[s] for s in stats}
+        fns = {s: _resolve_stat(s) for s in stats}
 
     exchanged = halo_exchange(tiles, T, g, wrap_nx)
 

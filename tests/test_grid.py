@@ -157,3 +157,94 @@ def test_grid_shape_validation():
         grid.grid_shape(0)
     with pytest.raises(ValueError):
         grid.grid_shape(grid.MAX_LEVEL + 1)
+
+
+# --- P3/P4: bbox -> contiguous cell-id ranges (quadtree decomposition) ---
+
+def _box_cells(ivs, jb, level):
+    want = set()
+    for i0, i1 in ivs:
+        for i in range(i0, i1 + 1):
+            for j in range(jb[0], jb[1] + 1):
+                want.add(int(grid.cell_id_pack(
+                    grid._morton_encode(np.asarray([i]), np.asarray([j]), level)[0],
+                    level,
+                )))
+    return want
+
+
+@pytest.mark.parametrize(
+    "bbox",
+    [
+        (5.0, 35.0, 100.0, 140.0),
+        (-20.0, -8.0, 172.0, -172.0),  # antimeridian wrap
+        (-90.0, 90.0, -180.0, 180.0),  # whole globe
+        (10.0, 10.7, -0.7, 0.7),       # sub-cell sliver
+    ],
+)
+def test_bbox_ranges_exact_cover(bbox):
+    level = 8
+    ivs, jb = grid.bbox_to_ij_bounds(*bbox, level)
+    rngs = grid.bbox_to_cell_ranges(*bbox, level)
+    got: set[int] = set()
+    for lo, hi in rngs:
+        assert lo <= hi
+        got.update(range(lo, hi + 1))
+    assert got == _box_cells(ivs, jb, level)
+    # ranges are disjoint and sorted (merged)
+    for (l0, h0), (l1, h1) in zip(rngs, rngs[1:]):
+        assert h0 + 1 < l1
+
+
+def test_bbox_ranges_budget_superset():
+    """With a tiny budget the planner emits supersets, never drops."""
+    level = 10
+    bbox = (3.0, 47.0, 11.0, 161.0)
+    ivs, jb = grid.bbox_to_ij_bounds(*bbox, level)
+    rngs = grid.bbox_to_cell_ranges(*bbox, level, max_ranges=8)
+    got: set[int] = set()
+    for lo, hi in rngs:
+        got.update(range(lo, hi + 1))
+    assert got >= _box_cells(ivs, jb, level)
+
+
+def test_range_pruning_plan(spark, tmp_path):
+    """The compiled BETWEEN ranges reach the parquet scan as pushed
+    filters and skip row groups on a cell-sorted table."""
+    from pyspark.sql import functions as F
+
+    from engine import shim, udfs
+
+    level = 8
+    path = str(tmp_path / "cells_sorted")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        shim.shim_lat_col(F.col("doc_id")).alias("lat"),
+        shim.shim_lon_col(F.col("doc_id")).alias("lon"),
+    )
+    tbl = pts.withColumn(
+        "cell_id", udfs.cell_encode_col(F.col("lat"), F.col("lon"), level)
+    ).select("doc_id", "cell_id")
+    # sorted layout => contiguous ids cluster into row groups
+    tbl.repartition(1).sortWithinPartitions("cell_id").write.mode(
+        "overwrite"
+    ).option("parquet.block.size", 16 * 1024).parquet(path)
+
+    back = spark.read.parquet(path)
+    rngs = grid.bbox_to_cell_ranges(5.0, 35.0, 100.0, 140.0, level)
+    pred = None
+    for lo, hi in rngs:
+        c = F.col("cell_id").between(lo, hi)
+        pred = c if pred is None else (pred | c)
+    q = back.filter(pred)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "cell_id" in plan.split("PushedFilters", 1)[1][:2000]
+    # correctness: equals the (i, j) box filter on the same table
+    i, j = udfs.latlon_to_ij_cols(F.col("lat"), F.col("lon"), level)
+    want = (
+        pts.withColumn("i", i).withColumn("j", j)
+        .filter(F.col("i").between(199, 227) & F.col("j").between(67, 88))
+        .count()
+    )
+    assert q.count() == want

@@ -145,3 +145,54 @@ def test_knn_join_matches_bruteforce(spark):
             got.dist_km.to_numpy(), [d for d, _ in want], rtol=1e-9
         )
         assert got.doc_id.tolist() == [d for _, d in want], f"q{q.q_id}"
+
+
+def test_knn_join_many_queries_distributed(spark):
+    """J3 at a query cardinality the old driver-loop design could not
+    handle: 10^4 query points, fully DataFrame-native rounds (the
+    driver only sees per-round isEmpty flags). Sampled brute-force
+    verification."""
+    from pyspark.sql import functions as F
+
+    level, k = 7, 3
+    n_pts, n_q = 20000, 10000
+    pts = spark.range(n_pts).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 2**32 / float(2**32) * 120.0 - 60.0).alias("lat"),
+        ((F.col("id") * 2246822519) % 2**32 / float(2**32) * 360.0 - 180.0).alias("lon"),
+    )
+    queries = spark.range(n_q).select(
+        F.col("id").alias("q_id"),
+        ((F.col("id") * 40503 + 7) % 2**32 / float(2**32) * 120.0 - 60.0).alias("lat"),
+        (((F.col("id") * 69069 + 1) % 2**32) / float(2**32) * 360.0 - 180.0).alias("lon"),
+    )
+    out = joins.knn_join(queries, pts, k, level, spark).toPandas()
+    assert len(out) == k * n_q
+    # brute-force a sample of queries in NumPy
+    pdf = pts.toPandas()
+    qdf = queries.filter(F.col("q_id") % 250 == 0).toPandas()
+    d = grid.haversine_km(
+        qdf.lat.to_numpy()[:, None], qdf.lon.to_numpy()[:, None],
+        pdf.lat.to_numpy()[None, :], pdf.lon.to_numpy()[None, :],
+    )
+    for row_i, (_, q) in enumerate(qdf.iterrows()):
+        order = np.lexsort((pdf.doc_id.to_numpy(), d[row_i]))[:k]
+        got = out[out.q_id == q.q_id].sort_values("rank")
+        assert got.doc_id.tolist() == pdf.doc_id.to_numpy()[order].tolist(), q.q_id
+
+
+def test_cover_refinement_shrinks_star():
+    """C7 refined cover (supercover boundary + interior centers) vs the
+    naive bbox cell count for the concave star fixture."""
+    star = fixtures.polygons()[1]["ring"]
+    lat_lo, lat_hi, lon_lo, lon_hi = geometry.polygon_bbox(star)
+    for level, min_ratio in ((8, 1.8), (9, 2.0)):
+        nc, nr = grid.grid_shape(level)
+        dlat, dlon = 180.0 / nr, 360.0 / nc
+        bbox_n = (
+            int(np.floor((lat_hi + 90) / dlat)) - int(np.floor((lat_lo + 90) / dlat)) + 1
+        ) * (
+            int(np.floor((lon_hi + 180) / dlon)) - int(np.floor((lon_lo + 180) / dlon)) + 1
+        )
+        cover = geometry.polygon_cell_cover(star, level)
+        assert bbox_n / len(cover) >= min_ratio, (level, len(cover), bbox_n)

@@ -51,6 +51,19 @@ def test_tile_size_invariance(spark):
     np.testing.assert_allclose(ref, kernels.focal_shannon(arr, 3, "circle"), rtol=1e-12, atol=1e-12)
 
 
+def test_focal_proportion_registry(spark):
+    """W5 via the stats registry: 'proportion:<class>' names resolve."""
+    arr = fixtures.raster_fixture(seed=4)
+    T = 16
+    out = tiling.apply_focal(
+        tiles_df(spark, arr, T), 3, "circle", ["proportion:2"], T, level=10
+    )
+    got = collect_band(out, "proportion:2", T)
+    np.testing.assert_allclose(
+        got, kernels.focal_proportion(arr, 3, 2.0, "circle"), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_focal_multi_stat_single_exchange(spark):
     arr = fixtures.raster_fixture(seed=9)
     T = 16
