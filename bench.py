@@ -65,12 +65,18 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # --- headline legs: one fresh JVM each ---------------------------------
+    fallback = {"per_sec": 0.0, "sec": -1.0, "tiles": 0, "rows": 0,
+                "in_rows": 0, "docs": 0, "out_tiles": 0}
     legs: dict[str, dict] = {}
     for leg in ("focal", "pipeline", "pip"):
-        r = bench_scaling._submit_one(  # noqa: SLF001
-            cpus, scale, scratch, zip_path, legs=(leg,), preset="bench"
-        )
-        legs[leg] = r[leg]
+        try:
+            r = bench_scaling._submit_one(  # noqa: SLF001
+                cpus, scale, scratch, zip_path, legs=(leg,), preset="bench"
+            )
+            legs[leg] = {**fallback, **r[leg]}
+        except Exception as e:  # a crashed leg must not sink the bench
+            print(f"# bench leg {leg} FAILED: {e}", file=sys.stderr)
+            legs[leg] = dict(fallback)
     queries["focal_circle_r7_2048tiles"] = round(legs["focal"]["sec"], 3)
     queries["pipeline_docs_to_stats"] = round(legs["pipeline"]["sec"], 3)
     queries["pip_join_4m_points"] = round(legs["pip"]["sec"], 3)

@@ -539,14 +539,9 @@ def apply_patch_stats(
     for s in stats:
         band, fn = PATCH_STAT_KERNELS[s]
         by_band.setdefault(band, {})[s] = fn
-    outs = [
-        tiling.apply_focal(
-            planes.filter(F.col("band") == band), r, shape, fns, T,
-            level=0, wrap_nx=wrap_nx,
-        )
-        for band, fns in by_band.items()  # one halo exchange per band
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.union(o)
-    return out
+    # ONE halo exchange for every derived band — the per-band variant
+    # re-executed the whole planes lineage (CCL + relabel + derive) once
+    # per band
+    return tiling.apply_focal_bands(
+        planes, r, shape, by_band, T, level=0, wrap_nx=wrap_nx
+    )

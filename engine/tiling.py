@@ -414,6 +414,56 @@ def apply_focal(
     return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(run, TILES_SCHEMA)
 
 
+def apply_focal_bands(
+    tiles: DataFrame,
+    r: int,
+    shape: str,
+    band_stats: dict[str, dict[str, object]],
+    T: int,
+    level: int,
+    wrap_nx: int | None = None,
+    halo: int | None = None,
+) -> DataFrame:
+    """Multi-band variant of apply_focal: ONE halo exchange ships every
+    input band and ONE applyInPandas computes all requested stats —
+    ``band_stats[in_band][out_band] = fn(arr, r, shape)``. Consumers
+    with several derived bands (engine/patches.apply_patch_stats) would
+    otherwise re-execute the upstream lineage once per band."""
+    g = halo if halo is not None else r
+    if g < r:
+        raise ValueError("halo must cover the kernel radius")
+    exchanged = halo_exchange(tiles, T, g, wrap_nx)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = assemble_padded(pdf, T, g)
+        if got is None:
+            return pd.DataFrame(
+                columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"]
+            )
+        bands, nr, nc = got
+        rows = []
+        for in_band, fns in band_stats.items():
+            padded = bands.get(in_band)
+            if padded is None:
+                continue
+            for out_band, fn in fns.items():
+                res = fn(padded, r, shape)[g : g + nr, g : g + nc]
+                rows.append(
+                    {
+                        "tile_x": int(key[0]),
+                        "tile_y": int(key[1]),
+                        "level": level,
+                        "band": out_band,
+                        "nrows": nr,
+                        "ncols": nc,
+                        "data": res.ravel(),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(run, TILES_SCHEMA)
+
+
 def focal_pipeline_plan_summary(df: DataFrame) -> str:
     """Formatted physical plan (for .explain-driven tuning in tests)."""
     return df._jdf.queryExecution().explainString(  # noqa: SLF001
