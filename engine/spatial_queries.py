@@ -95,13 +95,13 @@ offs AS (
   SELECT a.di AS di, b.dj AS dj FROM range(-7, 8) a(di), range(-7, 8) b(dj)
   WHERE a.di * a.di + b.dj * b.dj <= 49
 ),
-contrib AS (
+contrib AS MATERIALIZED (
   SELECT (((c.gi + o.di) % 512) + 512) % 512 AS gi, c.gj + o.dj AS gj,
          SUM(c.v) AS s, COUNT(*) AS n
   FROM cnt c CROSS JOIN offs o
   GROUP BY 1, 2
 ),
-focal AS (
+focal AS MATERIALIZED (
   SELECT p.tx, p.ty, c.s / c.n AS fv
   FROM px p LEFT JOIN contrib c ON c.gi = p.gi AND c.gj = p.gj
 )
@@ -284,7 +284,7 @@ sites AS (
   FROM range(1, 13) t(k)
 ),
 grid0 AS (SELECT x.i AS i, y.j AS j FROM range(0, 64) x(i), range(0, 64) y(j)),
-vor AS (
+vor AS MATERIALIZED (
   SELECT i, j, klass FROM (
     SELECT g.i, g.j, s.klass,
            ROW_NUMBER() OVER (
@@ -295,7 +295,7 @@ vor AS (
     FROM grid0 g CROSS JOIN sites s
   ) WHERE rn = 1
 ),
-cells AS (
+cells AS MATERIALIZED (
   SELECT i, j, klass, j * 64 + i AS id
   FROM vor
   WHERE NOT (((i * 2654435761 + j * 40503 + 7) % 4294967296) < 0.05 * 4294967296)
@@ -306,12 +306,33 @@ adj AS (
   FROM cells a JOIN cells b ON a.klass = b.klass
    AND ((ABS(a.i - b.i) = 1 AND a.j = b.j) OR (a.i = b.i AND ABS(a.j - b.j) = 1))
 ),
-reach AS (
-  SELECT id, id AS lab FROM cells
-  UNION
-  SELECT e.b AS id, r.lab FROM reach r JOIN adj e ON e.a = r.id
+runs AS MATERIALIZED (
+  -- gaps-and-islands: maximal same-class horizontal runs; run_id =
+  -- MIN cell id of the run. Propagating over the run graph instead of
+  -- the cell graph shrinks the closure ~10x (a 64x64 fixture has
+  -- ~4k cells but only ~hundreds of runs) — the cell-level closure
+  -- made this oracle the 20 s outlier of the correctness gate.
+  SELECT i, j, klass, id,
+         MIN(id) OVER (PARTITION BY j, klass, i - rn) AS run_id
+  FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY j, klass ORDER BY i) AS rn
+    FROM cells c
+  )
 ),
-roots AS (SELECT id, MIN(lab) AS root FROM reach GROUP BY id)
+redge AS MATERIALIZED (
+  SELECT DISTINCT a.run_id AS a, b.run_id AS b
+  FROM runs a JOIN runs b
+    ON b.i = a.i AND b.j = a.j + 1 AND b.klass = a.klass
+   AND a.run_id <> b.run_id
+),
+und AS MATERIALIZED (SELECT a, b FROM redge UNION SELECT b AS a, a AS b FROM redge),
+reach AS (
+  SELECT run_id AS id, run_id AS lab FROM (SELECT DISTINCT run_id FROM runs)
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN und e ON e.a = r.id
+),
+rroots AS (SELECT id AS run_id, MIN(lab) AS root FROM reach GROUP BY id),
+roots AS (SELECT r.id, rr.root FROM runs r JOIN rroots rr USING (run_id))
 """
 
 # W11–W13 edge-corrected focal stats, contribution form over the
@@ -327,19 +348,19 @@ pt AS (
   SELECT r.root, COUNT(*) AS area, SUM(4 - d.d) AS perimeter
   FROM roots r JOIN deg d ON d.id = r.id GROUP BY r.root
 ),
-planes AS (
+planes AS MATERIALIZED (
   SELECT c.i, c.j, 1.0 / pt.area AS inv_area,
          0.25 * pt.perimeter / SQRT(CAST(pt.area AS DOUBLE)) AS si
   FROM cells c JOIN roots r ON r.id = c.id JOIN pt ON pt.root = r.root
 ),
 offs AS (SELECT a.di AS di, b.dj AS dj FROM range(-3, 4) a(di), range(-3, 4) b(dj)),
-contrib AS (
+contrib AS MATERIALIZED (
   SELECT p.i + o.di AS ci, p.j + o.dj AS cj,
          COUNT(*) AS n, SUM(p.inv_area) AS s_inv, SUM(p.si) AS s_si
   FROM planes p CROSS JOIN offs o
   GROUP BY 1, 2
 ),
-focal AS (
+focal AS MATERIALIZED (
   SELECT g.i // 16 AS tx, g.j // 16 AS ty, c.n AS n, c.s_inv AS s_inv, c.s_si AS s_si
   FROM grid0 g LEFT JOIN contrib c ON c.ci = g.i AND c.cj = g.j
 )
