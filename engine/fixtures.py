@@ -178,6 +178,28 @@ def raster_arith(size: int = 64, n_sites: int = 12) -> np.ndarray:
     return arr
 
 
+def dem_arith(size: int = 64) -> np.ndarray:
+    """SQL-expressible deterministic DEM (no RNG, no trig): a quadratic
+    saddle + cross term gives smoothly varying gradients covering every
+    aspect quadrant; 3%-rate hash speckle nodata + one solid 4x4 nodata
+    block. Regenerated exactly by the sq_terrain DuckDB oracle
+    (engine/spatial_queries.py)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    i = xx.astype(np.float64)
+    j = yy.astype(np.float64)
+    arr = (
+        0.002 * (i - 20.0) * (i - 35.0)
+        + 0.003 * (j - 10.0) * (j - 50.0)
+        + 0.0004 * i * j
+    )
+    speckle = (
+        (xx.astype(np.int64) * 2654435761 + yy.astype(np.int64) * 40503 + 13) % 2**32
+    ) < 0.03 * 2**32
+    arr[speckle] = np.nan
+    arr[40:44, 8:12] = np.nan
+    return arr
+
+
 TILES_SCHEMA_DDL = (
     "tile_x int, tile_y int, level int, band string, "
     "nrows int, ncols int, data array<double>"

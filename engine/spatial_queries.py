@@ -275,7 +275,7 @@ def sq_patch_stats(spark: SparkSession, sf: str) -> DataFrame:
 # block) and its rook CCL as a recursive reachability closure: a
 # component's label is its MIN cell id — exactly the engine's canonical
 # patch id (engine/patches.py build_patches).
-_RASTER_CCL_SQL = """
+_RASTER_ARITH_SQL = """
 sites AS (
   SELECT k,
          ((k * 2654435761) % 4294967296) / 4294967296 * 64 AS sx,
@@ -305,7 +305,10 @@ adj AS (
   SELECT a.id AS a, b.id AS b
   FROM cells a JOIN cells b ON a.klass = b.klass
    AND ((ABS(a.i - b.i) = 1 AND a.j = b.j) OR (a.i = b.i AND ABS(a.j - b.j) = 1))
-),
+)
+"""
+
+_RASTER_CCL_SQL = f"""{_RASTER_ARITH_SQL},
 runs AS MATERIALIZED (
   -- gaps-and-islands: maximal same-class horizontal runs; run_id =
   -- MIN cell id of the run. Propagating over the run graph instead of
@@ -495,6 +498,180 @@ FROM media GROUP BY kind
 """
 
 
+def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
+    """Slope / aspect / hillshade (Horn 3x3, engine/terrain.py) over
+    the arithmetic DEM fixture, through the standard ONE-halo-exchange
+    focal pipeline; per-tile summary. Pinned semantics in the terrain
+    module docstring; the oracle regenerates the DEM and differentiates
+    it with a 9-offset neighbor join."""
+    from engine import fixtures, terrain, tiling
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = tiling.apply_focal(
+        tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
+    )
+    return _tile_summary(out)
+
+
+# regenerates fixtures.dem_arith exactly (quadratic saddle, 3% hash
+# speckle, solid 4x4 block) — shared by the terrain and zonal oracles
+_DEM_SQL = """
+dem AS MATERIALIZED (
+  SELECT i, j,
+         0.002 * (i - 20.0) * (i - 35.0)
+         + 0.003 * (j - 10.0) * (j - 50.0)
+         + 0.0004 * i * j AS z
+  FROM (SELECT x.i AS i, y.j AS j FROM range(0, 64) x(i), range(0, 64) y(j))
+  WHERE NOT (((i * 2654435761 + j * 40503 + 13) % 4294967296) < 0.03 * 4294967296)
+    AND NOT (i BETWEEN 8 AND 11 AND j BETWEEN 40 AND 43)
+)
+"""
+
+SQ_TERRAIN_SQL = f"""
+WITH {_DEM_SQL},
+offs(dx, dy, wx, wy) AS (VALUES
+  (-1, -1, -1.0, -1.0), (0, -1, 0.0, -2.0), (1, -1, 1.0, -1.0),
+  (-1,  0, -2.0,  0.0), (0,  0, 0.0,  0.0), (1,  0, 2.0,  0.0),
+  (-1,  1, -1.0,  1.0), (0,  1, 0.0,  2.0), (1,  1, 1.0,  1.0)
+),
+grad AS MATERIALIZED (
+  SELECT c.i, c.j,
+         SUM(o.wx * d.z) / 8.0 AS gx,
+         SUM(o.wy * d.z) / 8.0 AS gy,
+         COUNT(d.z) AS nn
+  FROM dem c
+  JOIN offs o ON TRUE
+  LEFT JOIN dem d ON d.i = c.i + o.dx AND d.j = c.j + o.dy
+  WHERE c.i + o.dx BETWEEN 0 AND 63 AND c.j + o.dy BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+vals AS MATERIALIZED (
+  SELECT i // 16 AS tx, j // 16 AS ty,
+         DEGREES(ATAN(SQRT(gx * gx + gy * gy))) AS slope,
+         CASE WHEN gx = 0 AND gy = 0 THEN NULL
+              ELSE (DEGREES(ATAN2(-gx, gy)) + 360.0) % 360.0 END AS aspect,
+         255.0 * GREATEST(0.0,
+           (0.7071067811865476
+            + 0.7071067811865476
+              * (0.7071067811865476 * gy - (-0.7071067811865476) * gx))
+           / SQRT(1.0 + gx * gx + gy * gy)) AS hillshade
+  FROM grad WHERE nn = 9
+),
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
+SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'slope' AS band,
+       COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(v.slope), 0.0), 4) AS tile_sum
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'aspect',
+       COUNT(v.aspect), ROUND(COALESCE(SUM(v.aspect), 0.0), 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'hillshade',
+       COUNT(v.hillshade), ROUND(COALESCE(SUM(v.hillshade), 0.0), 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+"""
+
+
+def sq_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal statistics (engine/zonal.py): per-zone count/sum/mean/
+    min/max of the arithmetic DEM, zones = the arithmetic Voronoi
+    class raster. Both grids regenerate in SQL, so the oracle is a
+    plain join + GROUP BY."""
+    from engine import fixtures, zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    zones = fixtures.tiles_rows_from_array(
+        fixtures.raster_arith(size=64), 16, band="zone"
+    )
+    vals = fixtures.tiles_rows_from_array(fixtures.dem_arith(size=64), 16, band="z")
+    import pandas as pd
+
+    tiles = spark.createDataFrame(
+        pd.concat([zones, vals], ignore_index=True), fixtures.TILES_SCHEMA_DDL
+    )
+    return zonal.zonal_stats(tiles, 16, zone_band="zone", value_band="z")
+
+
+SQ_ZONAL_SQL = f"""
+WITH {_RASTER_ARITH_SQL},
+{_DEM_SQL},
+joined AS (
+  SELECT c.klass AS zone, d.z AS z
+  FROM cells c JOIN dem d ON d.i = c.i AND d.j = c.j
+)
+SELECT CAST(zone AS BIGINT) AS zone,
+       COUNT(*) AS n_cells,
+       ROUND(SUM(z), 4) AS z_sum,
+       ROUND(SUM(z) / COUNT(*), 4) AS z_mean,
+       ROUND(MIN(z), 4) AS z_min,
+       ROUND(MAX(z), 4) AS z_max
+FROM joined GROUP BY zone
+"""
+
+
+def sq_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Overview pyramid (engine/pyramid.py): the level-9 doc-count
+    raster reduced two levels (NaN-aware 2x2 mean; mean-of-means at
+    the second level — the pinned overview recurrence), summarized per
+    (level, tile)."""
+    from engine import pyramid, tiling, udfs
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    level, T = 9, 32
+    docs = shim.documents_interleaved(spark, sf)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = pyramid.build_pyramid(tiles, T, level=level, n_levels=2, agg="mean")
+    valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+    return out.select(
+        "level",
+        "tile_x",
+        "tile_y",
+        "band",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.round(F.aggregate(valid, F.lit(0.0), lambda a, x: a + x), 4).alias("tile_sum"),
+    )
+
+
+SQ_PYRAMID_SQL = f"""
+WITH {_CNT_SQL},
+lvl8 AS MATERIALIZED (
+  SELECT gi // 2 AS gi, gj // 2 AS gj, SUM(v) / COUNT(*) AS v
+  FROM cnt GROUP BY 1, 2
+),
+t8 AS (SELECT DISTINCT tx // 2 AS tx, ty // 2 AS ty FROM tiles),
+px8 AS (
+  SELECT t.tx, t.ty, t.tx * 32 + x.i AS gi, t.ty * 32 + y.j AS gj
+  FROM t8 t, range(0, 32) x(i), range(0, 32) y(j)
+),
+lvl7 AS MATERIALIZED (
+  SELECT gi // 2 AS gi, gj // 2 AS gj, SUM(v) / COUNT(*) AS v
+  FROM lvl8 GROUP BY 1, 2
+),
+t7 AS (SELECT DISTINCT tx // 2 AS tx, ty // 2 AS ty FROM t8),
+px7 AS (
+  SELECT t.tx, t.ty, t.tx * 32 + x.i AS gi, t.ty * 32 + y.j AS gj
+  FROM t7 t, range(0, 32) x(i), range(0, 32) y(j)
+)
+SELECT CAST(8 AS INT) AS level, CAST(p.tx AS INT) AS tile_x,
+       CAST(p.ty AS INT) AS tile_y, 'count' AS band,
+       COUNT(c.v) AS n_valid, ROUND(COALESCE(SUM(c.v), 0.0), 4) AS tile_sum
+FROM px8 p LEFT JOIN lvl8 c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 2, 3
+UNION ALL
+SELECT CAST(7 AS INT), CAST(p.tx AS INT), CAST(p.ty AS INT), 'count',
+       COUNT(c.v), ROUND(COALESCE(SUM(c.v), 0.0), 4)
+FROM px7 p LEFT JOIN lvl7 c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 2, 3
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -503,4 +680,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_patch_stats": (sq_patch_stats, SQ_PATCH_STATS_SQL),
     "sq_raster_to_vector": (sq_raster_to_vector, SQ_RASTER_TO_VECTOR_SQL),
     "sq_multimodal_features": (sq_multimodal_features, _multimodal_oracle_sql()),
+    "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
+    "sq_zonal_stats": (sq_zonal_stats, SQ_ZONAL_SQL),
+    "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
 }

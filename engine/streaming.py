@@ -15,6 +15,8 @@ plan and the batch plan share all operator code by construction.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,65 @@ def dedup_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     the watermark horizon are dropped exactly; state for older keys is
     reclaimed (the streaming sibling of q13's batch exact-dedup)."""
     return docs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["doc_id"])
+
+
+def incremental_tile_counts(cells: DataFrame, tile_size: int) -> DataFrame:
+    """T6 (custom stateful operator, §2.9 applyInPandasWithState):
+    incremental rasterize — per-tile running pixel-count state updated
+    every micro-batch, emitting the tile's full sparse histogram with a
+    monotonically increasing version per update.
+
+    State per tile = (pixel idx array, count array, version): the
+    sparse CSR-style form of the A2 count raster, merged with each
+    batch's arrivals by a vectorized unique+bincount (no per-row
+    Python). After the last batch the max-version row per tile equals
+    the batch ``rasterize(count)`` result — asserted by the
+    streaming-equals-batch test. At scale this is the standard
+    upsert-view of a continuously ingested raster: state is bounded by
+    occupied pixels per tile (<= T^2), and each trigger shuffles only
+    the arriving rows."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    T = tile_size
+
+    def update(key, pdfs, state):
+        if state.exists:
+            idx0, cnt0, ver = state.get
+            idx0 = np.asarray(idx0, dtype=np.int64)
+            cnt0 = np.asarray(cnt0, dtype=np.int64)
+        else:
+            idx0 = np.empty(0, dtype=np.int64)
+            cnt0 = np.empty(0, dtype=np.int64)
+            ver = 0
+        news = [
+            pdf["tj"].to_numpy(dtype=np.int64) * T + pdf["ti"].to_numpy(dtype=np.int64)
+            for pdf in pdfs
+        ]
+        new_idx = np.concatenate(news) if news else np.empty(0, dtype=np.int64)
+        allidx = np.concatenate([idx0, new_idx])
+        w = np.concatenate([cnt0.astype(np.float64), np.ones(len(new_idx))])
+        uniq, inv = np.unique(allidx, return_inverse=True)
+        cnt = np.bincount(inv, weights=w).astype(np.int64)
+        state.update((uniq.tolist(), cnt.tolist(), ver + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "tile_x": int(key[0]), "tile_y": int(key[1]),
+                    "ver": ver + 1,
+                    "idx": uniq.tolist(), "cnt": cnt.tolist(),
+                    "n_px": len(uniq), "total": int(cnt.sum()),
+                }
+            ]
+        )
+
+    return cells.groupBy("tile_x", "tile_y").applyInPandasWithState(
+        update,
+        "tile_x int, tile_y int, ver long, idx array<long>, cnt array<long>, "
+        "n_px long, total long",
+        "idx array<long>, cnt array<long>, ver long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:

@@ -125,3 +125,37 @@ def test_session_windows_run(spark, stream_src):
     assert (got.sess_end > got.sess_start).all()
     # sessions partition the rows: counts sum to the input
     assert got.n_docs.sum() == spark.read.parquet(stream_src).count()
+
+
+def test_incremental_tile_counts_stateful(spark, stream_src):
+    """T6: applyInPandasWithState incremental rasterize — the final
+    (max-version) state per tile equals the batch per-pixel counts."""
+    stream = streaming.incremental_tile_counts(
+        streaming.stream_cells(
+            streaming.read_documents_stream(spark, stream_src, max_files_per_trigger=1),
+            LEVEL, T,
+        ),
+        T,
+    )
+    streaming.run_to_memory(stream, "inc_counts", output_mode="update")
+    got = spark.table("inc_counts").toPandas()
+    # several triggers ran: versions must increase per tile
+    assert got.ver.max() > 1
+    last = got.sort_values("ver").groupby(["tile_x", "tile_y"]).tail(1)
+    want = (
+        udfs.with_cell_and_tile(
+            udfs.geocode_cols(spark.read.parquet(stream_src)), LEVEL, T
+        )
+        .groupBy("tile_x", "tile_y", "ti", "tj")
+        .count()
+        .toPandas()
+    )
+    want_by_tile = {
+        (tx, ty): g for (tx, ty), g in want.groupby(["tile_x", "tile_y"])
+    }
+    assert set(map(tuple, last[["tile_x", "tile_y"]].to_numpy())) == set(want_by_tile)
+    for r in last.itertuples(index=False):
+        g = want_by_tile[(r.tile_x, r.tile_y)]
+        exp = dict(zip(g.tj.to_numpy() * T + g.ti.to_numpy(), g["count"].to_numpy()))
+        got_map = dict(zip(r.idx, r.cnt))
+        assert got_map == {int(k): int(v) for k, v in exp.items()}, (r.tile_x, r.tile_y)

@@ -1,0 +1,77 @@
+"""Terrain kernels: brute-force 3x3 goldens + tiled-pipeline equality."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from engine import fixtures, terrain, tiling
+
+
+def _brute_terrain(arr: np.ndarray, cellsize: float = 1.0):
+    """Per-cell explicit 3x3 enumeration of the pinned Horn semantics."""
+    H, W = arr.shape
+    slope = np.full((H, W), np.nan)
+    aspect = np.full((H, W), np.nan)
+    hill = np.full((H, W), np.nan)
+    for j in range(1, H - 1):
+        for i in range(1, W - 1):
+            win = arr[j - 1 : j + 2, i - 1 : i + 2]
+            if not np.all(np.isfinite(win)):
+                continue
+            nw, n, ne = win[0]
+            w, _, e = win[1]
+            sw, s, se = win[2]
+            gx = ((ne + 2 * e + se) - (nw + 2 * w + sw)) / (8 * cellsize)
+            gy = ((sw + 2 * s + se) - (nw + 2 * n + ne)) / (8 * cellsize)
+            slope[j, i] = math.degrees(math.atan(math.hypot(gx, gy)))
+            if not (gx == 0.0 and gy == 0.0):
+                aspect[j, i] = (math.degrees(math.atan2(-gx, gy)) + 360.0) % 360.0
+            raw = (
+                terrain.C45 + terrain.C45 * (terrain.CAZ * gy - terrain.SAZ * gx)
+            ) / math.sqrt(1.0 + gx * gx + gy * gy)
+            hill[j, i] = 255.0 * max(0.0, raw)
+    return slope, aspect, hill
+
+
+def test_terrain_golden_bruteforce():
+    arr = fixtures.dem_arith(size=32)
+    want_slope, want_aspect, want_hill = _brute_terrain(arr)
+    np.testing.assert_allclose(
+        terrain.focal_slope(arr), want_slope, rtol=1e-12, atol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        terrain.focal_aspect(arr), want_aspect, rtol=1e-12, atol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        terrain.focal_hillshade(arr), want_hill, rtol=1e-12, atol=1e-12, equal_nan=True
+    )
+    # sanity: the saddle fixture exercises all four aspect quadrants
+    q = want_aspect[np.isfinite(want_aspect)]
+    assert len({int(b) for b in (q // 90)}) == 4
+
+
+def test_terrain_nonunit_cellsize():
+    arr = fixtures.dem_arith(size=16)
+    want, _, _ = _brute_terrain(arr, cellsize=30.0)
+    got = terrain.focal_slope(arr, cellsize=30.0)
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+def test_terrain_tiled_pipeline(spark):
+    """Tiled halo path == whole-array kernels on every interior cell,
+    including across tile seams."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = tiling.apply_focal(
+        tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
+    )
+    pdf = out.toPandas()
+    for band, fn in terrain.TERRAIN_KERNELS.items():
+        got = fixtures.array_from_tiles_rows(pdf[pdf.band == band], 16)
+        want = fn(arr)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
