@@ -148,6 +148,10 @@ def _submit_one(
         # already up) — it must be on the submit command line
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
         "--conf", "spark.ui.enabled=false",
+        # ParallelGC: G1 humongous-allocation stalls made timed runs
+        # swing 158-249 tiles/s; ParallelGC holds a stable 277-287
+        # (focal, local[32], round-2 A/B). See engine/session.py.
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--py-files", zip_path,
         os.path.abspath(__file__),
         "--runner", "--cores", str(cores), "--scale", str(scale),

@@ -43,7 +43,17 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # ParallelGC for batch throughput: G1's humongous-allocation
+        # concurrent cycles (tile payloads + Arrow batches >= half a
+        # region) stall allocation unpredictably — measured focal leg
+        # 158-249 tiles/s under G1 vs a stable 277-287 under ParallelGC
+        # at local[32] (round 2). Throughput collectors are the right
+        # default for batch executors; latency-sensitive services would
+        # keep G1.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

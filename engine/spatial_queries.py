@@ -672,6 +672,93 @@ FROM px7 p LEFT JOIN lvl7 c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 2, 3
 """
 
 
+def sq_reclass_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Local map algebra (engine/algebra.py): reclassify the class
+    raster {0:10, 1:20, 2:20, 3:30} then the normalized difference
+    (dem - rc)/(dem + rc) against the DEM band — two local ops fused in
+    tile space; per-tile summary."""
+    import pandas as pd
+
+    from engine import algebra, fixtures
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(
+                    fixtures.raster_arith(size=64), 16, band="class"
+                ),
+                fixtures.tiles_rows_from_array(
+                    fixtures.dem_arith(size=64), 16, band="z"
+                ),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    mapping = {0: 10.0, 1: 20.0, 2: 20.0, 3: 30.0}
+    rc = algebra.reclassify(tiles, 16, mapping, band="class", out_band="rc")
+
+    def nd(got):
+        return (got["z"] - got["rc"]) / (got["z"] + got["rc"])
+
+    out = algebra.local_map(tiles.union(rc), 16, "nd", nd, ["z", "rc"])
+    return _tile_summary(out)
+
+
+SQ_RECLASS_SQL = f"""
+WITH {_RASTER_ARITH_SQL},
+{_DEM_SQL},
+nd AS (
+  SELECT c.i // 16 AS tx, c.j // 16 AS ty,
+         (d.z - rc.v) / (d.z + rc.v) AS v
+  FROM cells c
+  JOIN (SELECT i, j, CASE klass WHEN 0 THEN 10.0 WHEN 1 THEN 20.0
+                                WHEN 2 THEN 20.0 WHEN 3 THEN 30.0 END AS v
+        FROM cells) rc ON rc.i = c.i AND rc.j = c.j
+  JOIN dem d ON d.i = c.i AND d.j = c.j
+),
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
+SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'nd' AS band,
+       COUNT(n.v) AS n_valid, ROUND(COALESCE(SUM(n.v), 0.0), 4) AS tile_sum
+FROM tiles0 t LEFT JOIN nd n ON n.tx = t.tx AND n.ty = t.ty GROUP BY 1, 2
+"""
+
+
+def sq_sample_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """Point drill (engine/algebra.sample_raster): every document
+    samples the level-9 count raster at its own pixel (value = docs in
+    that pixel), aggregated per tile. Exercises the cogrouped
+    one-payload-per-tile extract."""
+    from engine import algebra, tiling, udfs
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    level, T = 9, 32
+    docs = shim.documents_interleaved(spark, sf)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = algebra.sample_raster(
+        pts, tiles, T, "count", point_cols=("doc_id", "tile_x", "tile_y")
+    )
+    return out.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.round(F.sum("value"), 4).alias("val_sum"),
+    )
+
+
+# per tile: n_pts = Σ v (each doc samples once), val_sum = Σ v·v (each
+# of a pixel's v docs reads back v)
+SQ_SAMPLE_SQL = f"""
+WITH {_CNT_SQL}
+SELECT CAST(gi // 32 AS INT) AS tile_x, CAST(gj // 32 AS INT) AS tile_y,
+       CAST(SUM(v) AS BIGINT) AS n_pts,
+       ROUND(SUM(v * v), 4) AS val_sum
+FROM cnt GROUP BY 1, 2
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -683,4 +770,6 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
     "sq_zonal_stats": (sq_zonal_stats, SQ_ZONAL_SQL),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
+    "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
+    "sq_sample_raster": (sq_sample_raster, SQ_SAMPLE_SQL),
 }
