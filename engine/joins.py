@@ -322,3 +322,66 @@ def knn_join(
     for df in cached:
         df.unpersist()
     return out
+
+
+def radius_join(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_km: float,
+    level: int,
+    point_id: str = "doc_id",
+    design_abs_lat: float = 60.0,
+) -> DataFrame:
+    """All (query, point) pairs within ``radius_km`` (haversine) — the
+    within-distance companion of knn_join. Returns (q_id, <point_id>,
+    dist_km).
+
+    Physical plan: ONE k-ring candidate round (no iteration — the ring
+    radius is knowable up front, unlike kNN's data-dependent kth
+    distance). The static ring radius is sized so every query with
+    ring margin >= radius_km is provably covered (the same plate-carrée
+    lower bound as knn_join, verified per query JVM-side); queries the
+    bound cannot cover at this level (high latitude / huge radius)
+    fall back to a broadcast cross-join — still distributed, never a
+    driver loop. Points shuffle once onto their cell key; candidates
+    arrive via the cell equi-join and one haversine filter.
+    """
+    nc, nr_ = grid.grid_shape(level)
+    dlat_km = (180.0 / nr_) * KM_PER_DEG
+    dlon_km = (360.0 / nc) * KM_PER_DEG * float(
+        np.cos(np.radians(design_abs_lat))
+    )
+    r = int(np.ceil(radius_km / min(dlat_km, dlon_km))) + 1
+
+    pts = points.select(
+        point_id,
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    ).withColumn(
+        "cell_id", udfs.cell_encode_pudf(F.col("p_lat"), F.col("p_lon"), F.lit(level))
+    )
+    q = queries.select("q_id", "lat", "lon").withColumn(
+        "_margin", _ring_margin_col(F.col("lat"), F.col("lon"), r, level)
+    )
+    covered = q.filter(F.col("_margin") >= radius_km)
+    stragglers = q.filter(F.col("_margin") < radius_km)
+
+    dist = udfs.haversine_col(
+        F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")
+    )
+    cand = (
+        covered.withColumn(
+            "_c0", udfs.cell_encode_pudf(F.col("lat"), F.col("lon"), F.lit(level))
+        )
+        .withColumn("cell_id", F.explode(udfs.k_ring_pudf(r)(F.col("_c0"))))
+        .join(pts, "cell_id")
+    )
+    near = cand.withColumn("dist_km", dist).filter(F.col("dist_km") <= radius_km)
+    far = (
+        pts.crossJoin(F.broadcast(stragglers))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+    )
+    return near.select("q_id", point_id, "dist_km").unionAll(
+        far.select("q_id", point_id, "dist_km")
+    )

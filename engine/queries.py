@@ -642,6 +642,111 @@ FROM s GROUP BY lang
 """
 
 
+_RADIUS_QUERIES = [(0, 10.0, 20.0), (1, -30.0, -60.0), (2, 55.0, 150.0)]
+_RADIUS_KM = 1500.0
+
+
+def q36_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-distance spatial join (engine/joins.radius_join): all doc
+    points within 1500 km of each fixed center, one k-ring candidate
+    round + haversine refine; per-center count / distance checksums."""
+    from engine import joins
+
+    pts = _doc_points(spark, sf)
+    qdf = spark.createDataFrame(_RADIUS_QUERIES, "q_id int, lat double, lon double")
+    out = joins.radius_join(qdf, pts, _RADIUS_KM, level=7)
+    return out.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.round(F.sum("dist_km"), 4).alias("dist_sum"),
+        F.round(F.min("dist_km"), 6).alias("dist_min"),
+    )
+
+
+_RADIUS_Q_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q_id, CAST({la} AS DOUBLE) AS q_lat, CAST({lo} AS DOUBLE) AS q_lon"
+    for q, la, lo in _RADIUS_QUERIES
+)
+
+Q36_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+q AS ({_RADIUS_Q_SQL}),
+d AS (
+  SELECT q.q_id,
+         2 * 6371.0088 * ASIN(SQRT(
+           LEAST(1.0, GREATEST(0.0,
+             POW(SIN(RADIANS(pts.lat - q.q_lat) / 2), 2)
+             + COS(RADIANS(q.q_lat)) * COS(RADIANS(pts.lat))
+               * POW(SIN(RADIANS(pts.lon - q.q_lon) / 2), 2)))
+         )) AS dist_km
+  FROM q CROSS JOIN pts
+)
+SELECT q_id, COUNT(*) AS n_within, ROUND(SUM(dist_km), 4) AS dist_sum,
+       ROUND(MIN(dist_km), 6) AS dist_min
+FROM d WHERE dist_km <= {_RADIUS_KM} GROUP BY q_id
+"""
+
+
+_SPLIT_WEIGHTS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def q34_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test carve (engine/sampling.hash_split):
+    shuffle-free hash-threshold split on doc_id, summarized per
+    (split, lang). The split is a map-only projection — stable under
+    reruns, repartitions, and cluster resizes, unlike rand()-based
+    sampling."""
+    from engine import sampling
+
+    d = sampling.hash_split(_T(spark, sf, "documents"), "doc_id", _SPLIT_WEIGHTS)
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+def _q34_sql() -> str:
+    from engine import sampling
+
+    case = sampling.split_case_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"""
+SELECT {case} AS split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q35_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact stratified subsample (engine/sampling.stratified_exact):
+    exactly ceil(10% · n) docs per language, deterministically chosen
+    by lowest hash bucket; per-language count + doc_id checksum proves
+    both engines picked the IDENTICAL rows."""
+    from engine import sampling
+
+    s = sampling.stratified_exact(
+        _T(spark, sf, "documents"), ["lang"], "doc_id", 0.10
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+def _q35_sql() -> str:
+    from engine import sampling
+
+    b = sampling.bucket_sql("doc_id")
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {b}, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rk <= CEIL(0.10 * n) GROUP BY lang
+"""
+
+
 SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_topk_orders_per_customer": (q02_topk_orders_per_customer, Q02_SQL),
@@ -662,4 +767,7 @@ SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q31_grouped_agg_rms": (q31_grouped_agg_rms, Q31_SQL),
     "q32_approx_distinct": (q32_approx_distinct, Q32_SQL),
     "q33_heavy_init_score": (q33_heavy_init_score, _q33_sql()),
+    "q34_hash_split": (q34_hash_split, _q34_sql()),
+    "q35_stratified_sample": (q35_stratified_sample, _q35_sql()),
+    "q36_radius_join": (q36_radius_join, Q36_SQL),
 }

@@ -1,0 +1,115 @@
+"""Bilinear 2x upsampling of a tiled raster — the warp direction the
+overview pyramid (engine/pyramid.py, downsample) doesn't cover; the
+engine analogue of a gdalwarp/zoom-in resample.
+
+Scale design: ONE 1-pixel halo exchange (the same JVM-side strip
+machinery as every focal op — engine/tiling.halo_exchange) then one
+applyInPandas per parent tile that emits its <=4 child tiles. No other
+shuffle: output volume is 4x input, produced map-side after the halo
+groupBy. Fusing interpolation into the halo-assembly stage is the plan
+that survives scale-up — the alternative (explode per-pixel, join 4
+corners) would shuffle 4 rows per OUTPUT pixel.
+
+Pinned semantics (SQL-replicable; oracle = 4-corner arithmetic join):
+- child pixel (ci, cj) at level L+1 interpolates parent coordinate
+  p = (c + 0.5)/2 - 0.5 per axis: corners floor(p), floor(p)+1 with
+  weights (1-frac, frac);
+- NaN-aware renormalization: out = sum(w*v over valid corners) /
+  sum(w over valid corners); no valid corner -> NaN. This gives
+  border pixels (outside-raster corners) and interior-nodata the same
+  rule — no special edge clamp;
+- a corner weight of exactly 0 with a NaN corner still yields NaN
+  denominator contribution 0 — i.e. 0-weight corners never poison a
+  pixel (frac = 0.25/0.75 everywhere on the 2x grid, so every pixel
+  has 4 nonzero corners except through this rule);
+- child tile (2*tx + qx, 2*ty + qy) exists iff its slice of the 2x
+  parent array is non-empty (ragged edge parents emit ragged/absent
+  children).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from engine import tiling
+
+__all__ = ["bilinear_2x", "upsample_bilinear"]
+
+
+def bilinear_2x(padded: np.ndarray, nr: int, nc: int, g: int = 1) -> np.ndarray:
+    """(nr+2g, nc+2g) halo-padded parent -> (2nr, 2nc) bilinear child
+    (NaN-aware renormalizing). Vectorized: one gather per corner."""
+    # parent-local coords of child samples along one axis
+    def axis(n: int) -> tuple[np.ndarray, np.ndarray]:
+        p = (np.arange(2 * n) + 0.5) / 2.0 - 0.5
+        i0 = np.floor(p).astype(np.int64)
+        return i0, p - i0
+
+    iy0, fy = axis(nr)
+    ix0, fx = axis(nc)
+    num = np.zeros((2 * nr, 2 * nc))
+    den = np.zeros((2 * nr, 2 * nc))
+    for dy in (0, 1):
+        wy = (1.0 - fy) if dy == 0 else fy
+        for dx in (0, 1):
+            wx = (1.0 - fx) if dx == 0 else fx
+            v = padded[np.ix_(iy0 + dy + g, ix0 + dx + g)]
+            w = wy[:, None] * wx[None, :]
+            ok = ~np.isnan(v)
+            num += np.where(ok, w * v, 0.0)
+            den += np.where(ok, w, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den == 0.0] = np.nan
+    return out
+
+
+def upsample_bilinear(
+    tiles: DataFrame, T: int, level: int, band: str | None = None
+) -> DataFrame:
+    """Tiled raster at ``level`` -> bilinear 2x raster at ``level+1``
+    (same tile size T; 4x the tiles). Single-band input expected
+    (filter by ``band`` if given)."""
+    if band is not None:
+        tiles = tiles.filter(tiles.band == band)
+    g = 1
+    exchanged = tiling.halo_exchange(tiles, T, g)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = tiling.assemble_padded(pdf, T, g)
+        if got is None:
+            return pd.DataFrame(
+                columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"]
+            )
+        bands, nr, nc = got
+        (band_name, padded), = bands.items()
+        child = bilinear_2x(padded, nr, nc, g)
+        rows = []
+        for qy in (0, 1):
+            y0, y1 = qy * T, min((qy + 1) * T, 2 * nr)
+            for qx in (0, 1):
+                x0, x1 = qx * T, min((qx + 1) * T, 2 * nc)
+                if y0 >= y1 or x0 >= x1:
+                    continue
+                sub = child[y0:y1, x0:x1]
+                rows.append(
+                    {
+                        "tile_x": 2 * int(key[0]) + qx,
+                        "tile_y": 2 * int(key[1]) + qy,
+                        "level": level + 1,
+                        "band": band_name,
+                        "nrows": sub.shape[0],
+                        "ncols": sub.shape[1],
+                        "data": sub.ravel(),
+                    }
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"],
+        )
+
+    return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
+        run, tiling.TILES_SCHEMA
+    )

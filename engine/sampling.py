@@ -1,0 +1,140 @@
+"""Deterministic dataset splitting and stratified sampling — the
+training-data-pipeline staples (train/val/test carving, per-class
+subsampling) as pure Spark column arithmetic.
+
+Scale design:
+- ``hash_split`` / ``sample_fraction`` are SHUFFLE-FREE: a pure
+  projection/filter on a deterministic integer-mix hash of the key —
+  at 100 TB they are a map-only pass that preserves the input
+  partitioning, and the split is stable under reruns, repartitions,
+  and cluster-size changes (unlike ``df.sample`` / ``rand()``, whose
+  output depends on partitioning and seed plumbing).
+- ``stratified_exact`` takes the EXACT per-group quota (ceil(frac·n))
+  via one window rank per group — one shuffle on the group key; use it
+  when exact class balance matters (eval carve-outs), and
+  ``sample_fraction`` (hash-threshold, zero shuffle, ±binomial noise)
+  for bulk subsampling.
+
+The hash is an explicit two-round multiply-fold/xor-shift mix in
+30-bit arithmetic, NOT an engine hash function: every product stays
+below 2^62 so the identical expression evaluates exactly in any
+BIGINT SQL dialect (Spark, DuckDB) with no overflow and no
+engine-specific hash — which is what makes the split oracle-checkable
+and portable across engines (the same property the doc-geo shim
+exploits, engine/shim.py).
+
+Pinned semantics:
+- bucket(key) in [0, 10000): fold key to 30 bits (xor of 30-bit limbs),
+  two rounds of (×Knuth-prime mod 2^30) then xor-shift-15, mod 10000;
+- hash_split assigns the FIRST split whose cumulative weight covers
+  the bucket (weights normalized to 10000 exactly, remainder to the
+  last split);
+- stratified_exact orders each group by (bucket, key) — deterministic
+  total order — and keeps rank <= ceil(frac * group_count).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bucket_col",
+    "bucket_sql",
+    "hash_split",
+    "sample_fraction",
+    "stratified_exact",
+]
+
+_M = 1 << 30
+_MASK = _M - 1
+_P1 = 2654435761  # Knuth multiplicative primes (public-domain idiom)
+_P2 = 2246822519
+_BUCKETS = 10_000
+
+
+def bucket_col(key: Column) -> Column:
+    """key (integer) -> deterministic bucket in [0, 10000)."""
+    k = (
+        (key.bitwiseAND(F.lit(_MASK)))
+        .bitwiseXOR(F.shiftright(key, 30).bitwiseAND(F.lit(_MASK)))
+        .bitwiseXOR(F.shiftright(key, 60))
+    )
+    h = (k * F.lit(_P1)) % F.lit(_M)
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = (h * F.lit(_P2)) % F.lit(_M)
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    return (h % F.lit(_BUCKETS)).cast("int")
+
+
+def bucket_sql(key: str) -> str:
+    """The identical bucket computation as ANSI-ish SQL (DuckDB
+    dialect: xor() function, >> / & / % operators on BIGINT)."""
+    k = f"xor(xor({key} & {_MASK}, ({key} >> 30) & {_MASK}), {key} >> 60)"
+    h1 = f"(({k}) * {_P1}) % {_M}"
+    h1x = f"xor({h1}, ({h1}) >> 15)"
+    h2 = f"(({h1x}) * {_P2}) % {_M}"
+    h2x = f"xor({h2}, ({h2}) >> 15)"
+    return f"CAST(({h2x}) % {_BUCKETS} AS INT)"
+
+
+def _cut_points(weights: dict[str, float]) -> list[tuple[str, int]]:
+    total = sum(weights.values())
+    names = list(weights)
+    cuts, acc = [], 0
+    for name in names[:-1]:
+        acc += round(weights[name] / total * _BUCKETS)
+        cuts.append((name, acc))
+    cuts.append((names[-1], _BUCKETS))
+    return cuts
+
+
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], out_col: str = "split"
+) -> DataFrame:
+    """Add ``out_col`` assigning each row to a named split (e.g.
+    {"train": .9, "val": .05, "test": .05}) — shuffle-free, stable."""
+    b = bucket_col(F.col(key))
+    cuts = _cut_points(weights)
+    expr = F.lit(cuts[-1][0])
+    for name, hi in reversed(cuts[:-1]):
+        expr = F.when(b < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_case_sql(key: str, weights: dict[str, float]) -> str:
+    """CASE expression mirroring hash_split for the oracle."""
+    b = bucket_sql(key)
+    cuts = _cut_points(weights)
+    whens = " ".join(
+        f"WHEN ({b}) < {hi} THEN '{name}'" for name, hi in cuts[:-1]
+    )
+    return f"CASE {whens} ELSE '{cuts[-1][0]}' END"
+
+
+def sample_fraction(df: DataFrame, key: str, frac: float) -> DataFrame:
+    """Deterministic ~frac subsample: keep bucket(key) < frac·10000.
+    Zero shuffle; supersets are nested (frac=0.1 ⊂ frac=0.2)."""
+    return df.filter(bucket_col(F.col(key)) < int(round(frac * _BUCKETS)))
+
+
+def stratified_exact(
+    df: DataFrame, group_cols: list[str], key: str, frac: float
+) -> DataFrame:
+    """Exactly ceil(frac·n) rows per group, deterministically chosen
+    (lowest hash buckets win; ties broken by key). One shuffle."""
+    w = Window.partitionBy(*group_cols)
+    ordered = w.orderBy(bucket_col(F.col(key)), F.col(key))
+    out = (
+        df.withColumn("_rk", F.row_number().over(ordered))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rk") <= F.ceil(F.lit(frac) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+    return out
+
+
+def exact_quota(n: int, frac: float) -> int:
+    return math.ceil(frac * n)

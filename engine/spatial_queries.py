@@ -759,6 +759,105 @@ FROM cnt GROUP BY 1, 2
 """
 
 
+def _dem_tiles(spark: SparkSession):
+    from engine import fixtures
+
+    return spark.createDataFrame(
+        fixtures.tiles_rows_from_array(fixtures.dem_arith(size=64), 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+
+
+def sq_raster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Global fixed-bin histogram (engine/zonal.raster_histogram) of
+    the arithmetic DEM: 20 bins over [-2, 8), per-bin count + sum."""
+    from engine import zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return zonal.raster_histogram(_dem_tiles(spark), "z", -2.0, 8.0, 20)
+
+
+SQ_HISTOGRAM_SQL = f"""
+WITH {_DEM_SQL}
+SELECT LEAST(GREATEST(CAST(FLOOR((z - (-2.0)) / 0.5) AS BIGINT), -1), 20) AS bin,
+       COUNT(*) AS n_cells, ROUND(SUM(z), 4) AS v_sum
+FROM dem GROUP BY 1
+"""
+
+
+def sq_global_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row global raster summary (engine/zonal.global_stats):
+    n/sum/mean/min/max/population-std via decomposable partials."""
+    from engine import zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return zonal.global_stats(_dem_tiles(spark), "z")
+
+
+SQ_GLOBAL_STATS_SQL = f"""
+WITH {_DEM_SQL}
+SELECT COUNT(*) AS n_cells, ROUND(SUM(z), 4) AS v_sum,
+       ROUND(SUM(z) / COUNT(*), 6) AS v_mean,
+       ROUND(MIN(z), 6) AS v_min, ROUND(MAX(z), 6) AS v_max,
+       ROUND(SQRT(SUM(z * z) / COUNT(*)
+                  - (SUM(z) / COUNT(*)) * (SUM(z) / COUNT(*))), 6) AS v_std
+FROM dem
+"""
+
+
+def sq_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilinear 2x upsample (engine/resample.py) of the arithmetic DEM
+    64x64 -> 128x128; per-child-tile summary. NaN-aware renormalizing
+    corners (speckle + border exercise the rule)."""
+    from engine import resample
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = _dem_tiles(spark)
+    return _tile_summary(resample.upsample_bilinear(tiles, 16, level=0, band="z"))
+
+
+# child sample at parent offset ±0.25 per axis -> corner weights are
+# exactly 0.75/0.25; num/den accumulate in the same corner order as
+# engine/resample.bilinear_2x ((0,0),(0,1),(1,0),(1,1)) so the FP sums
+# are bit-identical
+SQ_UPSAMPLE_SQL = f"""
+WITH {_DEM_SQL},
+child AS (
+  SELECT a.ci AS ci, b.cj AS cj,
+         a.ci // 2 - 1 + (a.ci % 2) AS ix0,
+         b.cj // 2 - 1 + (b.cj % 2) AS iy0,
+         CASE WHEN a.ci % 2 = 0 THEN 0.75 ELSE 0.25 END AS fx,
+         CASE WHEN b.cj % 2 = 0 THEN 0.75 ELSE 0.25 END AS fy
+  FROM range(0, 128) a(ci), range(0, 128) b(cj)
+),
+interp AS (
+  SELECT c.ci, c.cj,
+         COALESCE((1 - c.fy) * (1 - c.fx) * d00.z, 0)
+         + COALESCE((1 - c.fy) * c.fx * d01.z, 0)
+         + COALESCE(c.fy * (1 - c.fx) * d10.z, 0)
+         + COALESCE(c.fy * c.fx * d11.z, 0) AS num,
+         (CASE WHEN d00.z IS NULL THEN 0 ELSE (1 - c.fy) * (1 - c.fx) END)
+         + (CASE WHEN d01.z IS NULL THEN 0 ELSE (1 - c.fy) * c.fx END)
+         + (CASE WHEN d10.z IS NULL THEN 0 ELSE c.fy * (1 - c.fx) END)
+         + (CASE WHEN d11.z IS NULL THEN 0 ELSE c.fy * c.fx END) AS den
+  FROM child c
+  LEFT JOIN dem d00 ON d00.i = c.ix0 AND d00.j = c.iy0
+  LEFT JOIN dem d01 ON d01.i = c.ix0 + 1 AND d01.j = c.iy0
+  LEFT JOIN dem d10 ON d10.i = c.ix0 AND d10.j = c.iy0 + 1
+  LEFT JOIN dem d11 ON d11.i = c.ix0 + 1 AND d11.j = c.iy0 + 1
+),
+vals AS (SELECT ci // 16 AS tx, cj // 16 AS ty, num / den AS v
+         FROM interp WHERE den > 0),
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 8) a(tx), range(0, 8) b(ty))
+SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'z' AS band,
+       COUNT(v.v) AS n_valid, ROUND(COALESCE(SUM(v.v), 0.0), 4) AS tile_sum
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -772,4 +871,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_raster": (sq_sample_raster, SQ_SAMPLE_SQL),
+    "sq_upsample": (sq_upsample, SQ_UPSAMPLE_SQL),
+    "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
+    "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zonal_stats"]
+__all__ = ["global_stats", "raster_histogram", "zonal_stats"]
 
 _PARTIAL_SCHEMA = "zone long, n long, s double, mn double, mx double"
 
@@ -76,4 +76,91 @@ def zonal_stats(
             F.round(F.min("mn"), 4).alias("z_min"),
             F.round(F.max("mx"), 4).alias("z_max"),
         )
+    )
+
+
+def raster_histogram(
+    tiles: DataFrame,
+    band: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Global fixed-bin histogram of a band: one row per non-empty bin
+    (bin, n_cells, v_sum). bin = floor((v - lo)/width); out-of-range
+    cells land in bins -1 / nbins (never silently dropped).
+
+    Same partial+final shape as zonal_stats: per-tile bincounts via
+    mapInPandas (no shuffle before the partials; a histogram needs no
+    tile key at all), then one tiny groupBy over #bins rows per tile."""
+    from collections.abc import Iterator
+
+    width = (hi - lo) / nbins
+    sub = tiles.filter(F.col("band") == band).select("data")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v) == 0:
+                continue
+            b = np.clip(np.floor((v - lo) / width), -1, nbins).astype(np.int64)
+            uniq, inv = np.unique(b, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "bin": uniq,
+                    "n": np.bincount(inv),
+                    "s": np.bincount(inv, weights=v),
+                }
+            )
+
+    part = sub.mapInPandas(partials, "bin long, n long, s double")
+    return part.groupBy("bin").agg(
+        F.sum("n").alias("n_cells"),
+        F.round(F.sum("s"), 4).alias("v_sum"),
+    )
+
+
+def global_stats(tiles: DataFrame, band: str) -> DataFrame:
+    """One-row global summary of a band: n / sum / mean / min / max /
+    population stddev — per-tile decomposable partials (n, Σv, Σv²,
+    min, max) then a single-row merge; std via the sum-of-squares
+    identity (one sqrt at extract, SQL-replicable)."""
+    from collections.abc import Iterator
+
+    sub = tiles.filter(F.col("band") == band).select("data")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(v)],
+                    "s": [v.sum()],
+                    "s2": [(v * v).sum()],
+                    "mn": [v.min()],
+                    "mx": [v.max()],
+                }
+            )
+
+    part = sub.mapInPandas(
+        partials, "n long, s double, s2 double, mn double, mx double"
+    )
+    n, s, s2 = F.sum("n"), F.sum("s"), F.sum("s2")
+    return part.agg(
+        n.alias("n_cells"),
+        F.round(s, 4).alias("v_sum"),
+        F.round(s / n, 6).alias("v_mean"),
+        F.round(F.min("mn"), 6).alias("v_min"),
+        F.round(F.max("mx"), 6).alias("v_max"),
+        F.round(F.sqrt(s2 / n - (s / n) * (s / n)), 6).alias("v_std"),
     )

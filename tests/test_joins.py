@@ -196,3 +196,31 @@ def test_cover_refinement_shrinks_star():
         )
         cover = geometry.polygon_cell_cover(star, level)
         assert bbox_n / len(cover) >= min_ratio, (level, len(cover), bbox_n)
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """Within-R join == brute-force haversine filter, including a
+    high-latitude query that must take the broadcast fallback."""
+    from engine import udfs
+
+    level, R = 7, 800.0
+    docs = fixtures.documents_geo(spark, 2000, seed=11)
+    pts = udfs.geocode_cols(docs).select("doc_id", "lat", "lon")
+    qp = pd.DataFrame(
+        {
+            "q_id": [0, 1, 2, 3],
+            "lat": [10.0, -45.0, 80.0, 0.0],  # 80N: margin check fails -> fallback
+            "lon": [20.0, -60.0, 30.0, 179.9],
+        }
+    )
+    queries = spark.createDataFrame(qp)
+    out = joins.radius_join(queries, pts, R, level).toPandas()
+    pts_pdf = pts.toPandas()
+    for _, q in qp.iterrows():
+        d = grid.haversine_km(
+            q.lat, q.lon, pts_pdf.lat.to_numpy(), pts_pdf.lon.to_numpy()
+        )
+        want = set(pts_pdf.doc_id[d <= R])
+        got_rows = out[out.q_id == q.q_id]
+        assert set(got_rows.doc_id) == want, f"q{q.q_id}"
+        assert not got_rows.doc_id.duplicated().any(), f"q{q.q_id}: dup candidates"

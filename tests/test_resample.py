@@ -1,0 +1,75 @@
+"""Bilinear 2x upsample: tiled pipeline vs whole-array NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import fixtures, resample
+
+
+def _global_bilinear(arr: np.ndarray) -> np.ndarray:
+    """Reference: pad the WHOLE raster with a NaN halo and run the
+    same per-tile kernel once — the tiled result must match exactly."""
+    padded = np.full((arr.shape[0] + 2, arr.shape[1] + 2), np.nan)
+    padded[1:-1, 1:-1] = arr
+    return resample.bilinear_2x(padded, arr.shape[0], arr.shape[1], g=1)
+
+
+def test_bilinear_weights_exact():
+    # child samples sit at parent offsets ±0.25 → weights 0.75/0.25
+    a = np.array([[0.0, 4.0], [8.0, 12.0]])
+    padded = np.full((4, 4), np.nan)
+    padded[1:3, 1:3] = a
+    out = resample.bilinear_2x(padded, 2, 2, g=1)
+    assert out.shape == (4, 4)
+    # center 2x2 of the output interpolates all four parents
+    np.testing.assert_allclose(
+        out[1:3, 1:3],
+        [
+            [0.75 * (0.75 * 0 + 0.25 * 4) + 0.25 * (0.75 * 8 + 0.25 * 12),
+             0.75 * (0.25 * 0 + 0.75 * 4) + 0.25 * (0.25 * 8 + 0.75 * 12)],
+            [0.25 * (0.75 * 0 + 0.25 * 4) + 0.75 * (0.75 * 8 + 0.25 * 12),
+             0.25 * (0.25 * 0 + 0.75 * 4) + 0.75 * (0.25 * 8 + 0.75 * 12)],
+        ],
+    )
+    # corner pixel: only the one valid parent contributes (renormalized)
+    np.testing.assert_allclose(out[0, 0], 0.0)
+
+
+def test_nan_renormalization():
+    a = np.array([[1.0, np.nan], [3.0, 5.0]])
+    padded = np.full((4, 4), np.nan)
+    padded[1:3, 1:3] = a
+    out = resample.bilinear_2x(padded, 2, 2, g=1)
+    # pixel (1,1): corners 1, NaN, 3, 5 with weights .5625/.1875/.1875/.0625
+    want = (0.5625 * 1 + 0.1875 * 3 + 0.0625 * 5) / (0.5625 + 0.1875 + 0.0625)
+    np.testing.assert_allclose(out[1, 1], want)
+
+
+def test_tiled_upsample_matches_global(spark):
+    arr = fixtures.dem_arith(size=64)  # includes speckle + block NaN
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = resample.upsample_bilinear(tiles, 16, level=0, band="z").toPandas()
+    assert (out.level == 1).all()
+    assert len(out) == 64  # 4x4 parents -> 8x8 children
+    got = fixtures.array_from_tiles_rows(out, 16)
+    np.testing.assert_allclose(
+        got, _global_bilinear(arr), rtol=1e-12, equal_nan=True
+    )
+
+
+def test_ragged_edge_parent(spark):
+    arr = fixtures.dem_arith(size=64)[:40, :56]  # ragged 40x56
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = resample.upsample_bilinear(tiles, 16, level=0, band="z").toPandas()
+    got = fixtures.array_from_tiles_rows(out, 16)
+    assert got.shape == (80, 112)
+    np.testing.assert_allclose(
+        got, _global_bilinear(arr), rtol=1e-12, equal_nan=True
+    )

@@ -61,3 +61,52 @@ def test_zonal_missing_band_tiles_ignored(spark):
     assert len(got) == 1 and got.iloc[0].zone == 0
     ok = np.isfinite(fixtures.dem_arith(size=32)[:16, :16])
     assert got.iloc[0].n_cells == int(ok.sum())
+
+
+def test_raster_histogram_matches_numpy(spark):
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = (
+        zonal.raster_histogram(tiles, "z", -2.0, 8.0, 20)
+        .toPandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    v = arr[np.isfinite(arr)]
+    b = np.clip(np.floor((v - (-2.0)) / 0.5), -1, 20).astype(np.int64)
+    for bb in np.unique(b):
+        sel = v[b == bb]
+        assert got.loc[bb, "n_cells"] == len(sel)
+        np.testing.assert_allclose(got.loc[bb, "v_sum"], round(sel.sum(), 4), atol=1e-9)
+    assert got.n_cells.sum() == len(v)
+
+
+def test_raster_histogram_out_of_range_bins(spark):
+    arr = np.array([[-5.0, 0.5], [99.0, np.nan]])
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 2, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = zonal.raster_histogram(tiles, "z", 0.0, 1.0, 4).toPandas().set_index("bin")
+    assert got.loc[-1, "n_cells"] == 1  # below lo
+    assert got.loc[4, "n_cells"] == 1   # above hi
+    assert got.loc[2, "n_cells"] == 1   # 0.5 in [0.5, 0.75)
+
+
+def test_global_stats_matches_numpy(spark):
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = zonal.global_stats(tiles, "z").toPandas().iloc[0]
+    v = arr[np.isfinite(arr)]
+    assert got.n_cells == len(v)
+    np.testing.assert_allclose(got.v_sum, round(v.sum(), 4), atol=1e-9)
+    np.testing.assert_allclose(got.v_mean, v.mean(), atol=1e-6)
+    np.testing.assert_allclose(got.v_min, v.min(), atol=1e-6)
+    np.testing.assert_allclose(got.v_max, v.max(), atol=1e-6)
+    np.testing.assert_allclose(got.v_std, v.std(), atol=1e-6)
