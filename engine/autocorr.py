@@ -1,0 +1,110 @@
+"""Global spatial autocorrelation — Moran's I with rook-contiguity
+weights over a tiled raster band.
+
+The statistic (binary rook weights w_ij = 1 for edge-adjacent valid
+cells, row-unstandardized):
+
+    I = (n / W) * sum_i dev_i * sum_{j in rook(i)} dev_j
+               / sum_i dev_i^2,          dev_i = x_i - mean(x)
+
+Scale design — two passes, both map-side-partial shaped:
+1. the global mean: per-tile (n, sum) partials via mapInPandas, one
+   single-row agg, one scalar collect (constant driver traffic at any
+   raster size);
+2. ONE 1-pixel halo exchange (the same JVM-strip machinery as every
+   focal op, engine/tiling.halo_exchange) then ONE applyInPandas that
+   reduces each tile to FOUR scalars (num, den, W, n partials) — the
+   shuffle ships tile payloads once, the final agg sees one tiny row
+   per tile. No cell-level shuffle anywhere.
+
+Cross-tile neighbor pairs are correct by construction: the halo pad
+carries the adjacent tiles' border pixels, and outside-raster /
+missing-tile pad is NaN, which the valid-neighbor masks exclude —
+border cells simply have fewer rook neighbors (deg < 4), matching the
+oracle's LEFT-JOIN semantics.
+
+Pinned semantics:
+- neighbors = the 4 rook (edge) offsets; both endpoints must be valid
+  (non-NaN) cells; W counts DIRECTED pairs (each undirected edge twice);
+- cells with zero valid neighbors contribute to n and the denominator
+  but nothing to num / W;
+- mean over all valid cells of the band.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine import tiling
+
+__all__ = ["moran_i"]
+
+
+def moran_i(
+    tiles: DataFrame,
+    T: int,
+    band: str,
+    wrap_nx: int | None = None,
+) -> DataFrame:
+    """One-row result: (n_cells, w_pairs, moran_i)."""
+    sub = tiles.filter(F.col("band") == band)
+
+    def mean_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v):
+                yield pd.DataFrame({"n": [len(v)], "s": [v.sum()]})
+
+    mrow = (
+        sub.select("data")
+        .mapInPandas(mean_partials, "n long, s double")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()[0]
+    )
+    xbar = float(mrow.s) / int(mrow.n)
+
+    exchanged = tiling.halo_exchange(sub, T, 1, wrap_nx)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = tiling.assemble_padded(pdf, T, 1)
+        if got is None:
+            return pd.DataFrame(columns=["num", "den", "w", "n"])
+        bands, nr, nc = got
+        (_, z), = bands.items()
+        c = z[1 : 1 + nr, 1 : 1 + nc]
+        valid = np.isfinite(c)
+        nbr_sum = np.zeros_like(c)
+        deg = np.zeros_like(c)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = z[1 + dy : 1 + dy + nr, 1 + dx : 1 + dx + nc]
+            ok = np.isfinite(nb)
+            nbr_sum += np.where(ok, nb, 0.0)
+            deg += ok
+        dev = np.where(valid, c - xbar, 0.0)
+        num = float(np.sum(dev * (nbr_sum - deg * xbar) * valid))
+        den = float(np.sum(dev * dev))
+        w = int(np.sum(deg[valid]))
+        return pd.DataFrame(
+            {"num": [num], "den": [den], "w": [w], "n": [int(valid.sum())]}
+        )
+
+    part = exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
+        run, "num double, den double, w long, n long"
+    )
+    n, w = F.sum("n"), F.sum("w")
+    return part.agg(
+        n.alias("n_cells"),
+        w.alias("w_pairs"),
+        F.round(
+            (n.cast("double") / w) * F.sum("num") / F.sum("den"), 6
+        ).alias("moran_i"),
+    )

@@ -32,10 +32,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from engine import tiling
 
-__all__ = ["bilinear_2x", "upsample_bilinear"]
+__all__ = ["bilinear_2x", "sample_bilinear", "upsample_bilinear"]
 
 
 def bilinear_2x(padded: np.ndarray, nr: int, nc: int, g: int = 1) -> np.ndarray:
@@ -112,4 +113,94 @@ def upsample_bilinear(
 
     return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
         run, tiling.TILES_SCHEMA
+    )
+
+
+def sample_bilinear(
+    points: DataFrame,
+    tiles: DataFrame,
+    T: int,
+    band: str,
+    point_cols: tuple[str, ...] = ("pt_id",),
+) -> DataFrame:
+    """Bilinear point drill — the interpolated sibling of
+    engine/algebra.sample_raster (L3 reads the containing pixel; this
+    blends the 4 surrounding pixel CENTERS with the same NaN-aware
+    renormalizing corner rule as bilinear_2x, so the two resampling ops
+    share one pinned semantics).
+
+    ``points`` carries ``point_cols`` + continuous global pixel coords
+    (gx, gy) in [0, nx)×[0, ny); pixel (i, j) center is (i+0.5, j+0.5).
+    Sample at (gx, gy): p = g − 0.5 per axis, corners floor(p),
+    floor(p)+1, weights (1−frac, frac); out = Σ w·v / Σ w over valid
+    (non-NaN, in-raster) corners; NO valid corner → no output row.
+
+    Scale design: ONE 1-pixel halo exchange ships each tile payload
+    once with its neighbor rim, then ONE cogrouped applyInPandas
+    joins the points of a tile against its padded array — corners that
+    cross a tile boundary read the halo, never a second tile row, and
+    the payload is never copied per point (the same
+    join-would-duplicate-512KB argument as L3). Points shuffle once on
+    their tile key.
+    """
+    t = tiles.filter(F.col("band") == band)
+    exchanged = tiling.halo_exchange(t, T, 1)
+    cols = list(point_cols)
+    # anchor tile = the tile of the clamped floor corner: every corner
+    # of the sample then lies inside that tile's 1-pixel padded array
+    i0 = F.floor(F.col("gx") - 0.5).cast("long")
+    j0 = F.floor(F.col("gy") - 0.5).cast("long")
+    p = points.select(
+        *cols,
+        "gx",
+        "gy",
+        (F.greatest(i0, F.lit(0)) / T).cast("int").alias("s_tx"),
+        (F.greatest(j0, F.lit(0)) / T).cast("int").alias("s_ty"),
+    )
+
+    def run(key, pts_pdf: pd.DataFrame, tiles_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[*cols, "value"])
+        if len(pts_pdf) == 0 or len(tiles_pdf) == 0:
+            return empty
+        got = tiling.assemble_padded(tiles_pdf, T, 1)
+        if got is None:
+            return empty
+        bands, nr, nc = got
+        (_, padded), = bands.items()
+        tx, ty = int(key[0]), int(key[1])
+        px = pts_pdf["gx"].to_numpy(dtype=np.float64) - 0.5 - tx * T
+        py = pts_pdf["gy"].to_numpy(dtype=np.float64) - 0.5 - ty * T
+        ix0 = np.floor(px).astype(np.int64)
+        iy0 = np.floor(py).astype(np.int64)
+        fx, fy = px - ix0, py - iy0
+        num = np.zeros(len(pts_pdf))
+        den = np.zeros(len(pts_pdf))
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            for dx in (0, 1):
+                wx = (1.0 - fx) if dx == 0 else fx
+                yy = np.clip(iy0 + dy + 1, 0, padded.shape[0] - 1)
+                xx = np.clip(ix0 + dx + 1, 0, padded.shape[1] - 1)
+                # clip only guards indexing; out-of-pad corners are NaN
+                # pad anyway, and anchor choice keeps true corners in-pad
+                v = padded[yy, xx]
+                ok = ~np.isnan(v)
+                w = wy * wx
+                num += np.where(ok, w * v, 0.0)
+                den += np.where(ok, w, 0.0)
+        out = pts_pdf[cols].copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["value"] = num / den
+        return out[den > 0.0]
+
+    out_schema = ", ".join(
+        f"{c} {t_}" for c, t_ in zip(
+            [*cols, "value"],
+            [*[dict(p.dtypes)[c] for c in cols], "double"],
+        )
+    )
+    return (
+        p.groupBy("s_tx", "s_ty")
+        .cogroup(exchanged.groupBy("dst_tx", "dst_ty"))
+        .applyInPandas(run, out_schema)
     )

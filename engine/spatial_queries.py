@@ -858,6 +858,153 @@ FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
 
+def sq_moran(spark: SparkSession, sf: str) -> DataFrame:
+    """Global Moran's I (engine/autocorr.py) of the arithmetic DEM
+    under rook weights: two map-side-partial passes (mean, then one
+    1-halo exchange reducing each tile to 4 scalars)."""
+    from engine import autocorr
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return autocorr.moran_i(_dem_tiles(spark), 16, band="z")
+
+
+SQ_MORAN_SQL = f"""
+WITH {_DEM_SQL},
+s AS (SELECT AVG(z) AS xb, COUNT(*) AS n FROM dem),
+nb AS (
+  SELECT a.i, a.j, a.z,
+         COUNT(b.z) AS deg, COALESCE(SUM(b.z), 0) AS ns
+  FROM dem a
+  LEFT JOIN dem b
+    ON (b.i = a.i AND ABS(b.j - a.j) = 1)
+    OR (b.j = a.j AND ABS(b.i - a.i) = 1)
+  GROUP BY a.i, a.j, a.z
+)
+SELECT MAX(s.n) AS n_cells,
+       CAST(SUM(nb.deg) AS BIGINT) AS w_pairs,
+       ROUND((CAST(MAX(s.n) AS DOUBLE) / SUM(nb.deg))
+             * SUM((nb.z - s.xb) * (nb.ns - nb.deg * s.xb))
+             / SUM((nb.z - s.xb) * (nb.z - s.xb)), 6) AS moran_i
+FROM nb, s
+"""
+
+
+_IDW_N, _IDW_R = 200, 4.0
+
+
+def sq_idw(spark: SparkSession, sf: str) -> DataFrame:
+    """IDW point→raster interpolation (engine/interpolate.py): 200
+    deterministic scatter points → 64×64 grid, R=4 px, w=1/max(d²,ε);
+    per-16×16-tile cell count + value checksum."""
+    from engine import interpolate
+
+    pts = spark.range(_IDW_N).select(
+        ((F.col("id") * 2654435761 + 7) % 6400).cast("double").alias("px") / 100,
+        ((F.col("id") * 40503 + 11) % 6400).cast("double").alias("py") / 100,
+        ((F.col("id") * 9973 + 3) % 1000).cast("double").alias("v") / 100,
+    ).toDF("px", "py", "v")
+    vals = interpolate.idw_grid(pts, _IDW_R, 64, 64)
+    return (
+        vals.groupBy(
+            F.expr("CAST(i DIV 16 AS INT)").alias("tile_x"),
+            F.expr("CAST(j DIV 16 AS INT)").alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("value"), 4).alias("v_sum"),
+        )
+    )
+
+
+SQ_IDW_SQL = f"""
+WITH pts AS (
+  SELECT CAST((k * 2654435761 + 7) % 6400 AS DOUBLE) / 100 AS px,
+         CAST((k * 40503 + 11) % 6400 AS DOUBLE) / 100 AS py,
+         CAST((k * 9973 + 3) % 1000 AS DOUBLE) / 100 AS v
+  FROM range(0, {_IDW_N}) t(k)
+),
+cells AS (SELECT x.i AS i, y.j AS j FROM range(0, 64) x(i), range(0, 64) y(j)),
+pairs AS (
+  SELECT c.i, c.j, p.v,
+         (p.px - (c.i + 0.5)) * (p.px - (c.i + 0.5))
+         + (p.py - (c.j + 0.5)) * (p.py - (c.j + 0.5)) AS d2
+  FROM cells c CROSS JOIN pts p
+),
+vals AS (
+  SELECT i, j,
+         SUM((1.0 / GREATEST(d2, 1e-12)) * v)
+         / SUM(1.0 / GREATEST(d2, 1e-12)) AS value
+  FROM pairs WHERE d2 <= {_IDW_R * _IDW_R} GROUP BY i, j
+)
+SELECT CAST(i // 16 AS INT) AS tile_x, CAST(j // 16 AS INT) AS tile_y,
+       COUNT(*) AS n_cells, ROUND(SUM(value), 4) AS v_sum
+FROM vals GROUP BY 1, 2
+"""
+
+
+_BILIN_N = 300
+
+
+def sq_sample_bilinear(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilinear point drill (engine/resample.sample_bilinear): 300
+    deterministic points interpolate the arithmetic DEM via the 4
+    surrounding pixel centers (NaN-renormalizing corner rule shared
+    with sq_upsample); per-point-bucket count + value checksum."""
+    from engine import resample
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    pts = spark.range(_BILIN_N).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 48271 + 5) % 6400).cast("double") / 100).alias("gx"),
+        (((F.col("id") * 69621 + 17) % 6400).cast("double") / 100).alias("gy"),
+    )
+    out = resample.sample_bilinear(pts, _dem_tiles(spark), 16, "z", ("k",))
+    return out.groupBy(F.expr("CAST(k DIV 50 AS INT)").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.round(F.sum("value"), 4).alias("v_sum"),
+    )
+
+
+SQ_SAMPLE_BILINEAR_SQL = f"""
+WITH {_DEM_SQL},
+pts AS (
+  SELECT k,
+         CAST((k * 48271 + 5) % 6400 AS DOUBLE) / 100 AS gx,
+         CAST((k * 69621 + 17) % 6400 AS DOUBLE) / 100 AS gy
+  FROM range(0, {_BILIN_N}) t(k)
+),
+c AS (
+  SELECT k,
+         CAST(FLOOR(gx - 0.5) AS BIGINT) AS ix0,
+         CAST(FLOOR(gy - 0.5) AS BIGINT) AS iy0,
+         (gx - 0.5) - FLOOR(gx - 0.5) AS fx,
+         (gy - 0.5) - FLOOR(gy - 0.5) AS fy
+  FROM pts
+),
+interp AS (
+  SELECT c.k,
+         COALESCE((1 - c.fy) * (1 - c.fx) * d00.z, 0)
+         + COALESCE((1 - c.fy) * c.fx * d01.z, 0)
+         + COALESCE(c.fy * (1 - c.fx) * d10.z, 0)
+         + COALESCE(c.fy * c.fx * d11.z, 0) AS num,
+         (CASE WHEN d00.z IS NULL THEN 0 ELSE (1 - c.fy) * (1 - c.fx) END)
+         + (CASE WHEN d01.z IS NULL THEN 0 ELSE (1 - c.fy) * c.fx END)
+         + (CASE WHEN d10.z IS NULL THEN 0 ELSE c.fy * (1 - c.fx) END)
+         + (CASE WHEN d11.z IS NULL THEN 0 ELSE c.fy * c.fx END) AS den
+  FROM c
+  LEFT JOIN dem d00 ON d00.i = c.ix0 AND d00.j = c.iy0
+  LEFT JOIN dem d01 ON d01.i = c.ix0 + 1 AND d01.j = c.iy0
+  LEFT JOIN dem d10 ON d10.i = c.ix0 AND d10.j = c.iy0 + 1
+  LEFT JOIN dem d11 ON d11.i = c.ix0 + 1 AND d11.j = c.iy0 + 1
+)
+SELECT CAST(k // 50 AS INT) AS bucket, COUNT(*) AS n_pts,
+       ROUND(SUM(num / den), 4) AS v_sum
+FROM interp WHERE den > 0 GROUP BY 1
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -872,6 +1019,9 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_raster": (sq_sample_raster, SQ_SAMPLE_SQL),
     "sq_upsample": (sq_upsample, SQ_UPSAMPLE_SQL),
+    "sq_moran": (sq_moran, SQ_MORAN_SQL),
+    "sq_idw": (sq_idw, SQ_IDW_SQL),
+    "sq_sample_bilinear": (sq_sample_bilinear, SQ_SAMPLE_BILINEAR_SQL),
     "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
     "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

@@ -1,0 +1,57 @@
+"""Moran's I golden tests: Spark result == brute-force NumPy over the
+full raster (cross-tile rook pairs included via the halo exchange)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine import autocorr, fixtures
+
+
+def brute_moran(arr: np.ndarray) -> tuple[int, int, float]:
+    H, W = arr.shape
+    valid = np.isfinite(arr)
+    v = arr[valid]
+    n, xb = int(valid.sum()), v.mean()
+    num = 0.0
+    w = 0
+    for y in range(H):
+        for x in range(W):
+            if not valid[y, x]:
+                continue
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < H and 0 <= xx < W and valid[yy, xx]:
+                    num += (arr[y, x] - xb) * (arr[yy, xx] - xb)
+                    w += 1
+    den = float(((v - xb) ** 2).sum())
+    return n, w, (n / w) * num / den
+
+
+@pytest.mark.parametrize("size,T", [(64, 16), (48, 32)])
+def test_moran_matches_bruteforce(spark, size, T):
+    arr = fixtures.dem_arith(size=size)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, T, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = autocorr.moran_i(tiles, T, band="z").toPandas().iloc[0]
+    n, w, i = brute_moran(arr)
+    assert got.n_cells == n
+    assert got.w_pairs == w
+    np.testing.assert_allclose(got.moran_i, i, atol=2e-6)
+
+
+def test_moran_checkerboard_negative(spark):
+    """A perfect checkerboard is maximal negative autocorrelation:
+    every neighbor product is -1 x devs, so I < 0 (and with equal
+    +1/-1 counts, exactly -1)."""
+    y, x = np.mgrid[0:32, 0:32]
+    arr = ((y + x) % 2 * 2 - 1).astype(np.float64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = autocorr.moran_i(tiles, 16, band="z").toPandas().iloc[0]
+    np.testing.assert_allclose(got.moran_i, -1.0, atol=1e-9)

@@ -73,3 +73,48 @@ def test_ragged_edge_parent(spark):
     np.testing.assert_allclose(
         got, _global_bilinear(arr), rtol=1e-12, equal_nan=True
     )
+
+
+def _brute_bilinear_at(arr: np.ndarray, gx: float, gy: float) -> float:
+    """NaN-renormalizing 4-corner sample at one point (pixel centers
+    at i+0.5); returns NaN when no valid corner."""
+    H, W = arr.shape
+    px, py = gx - 0.5, gy - 0.5
+    ix0, iy0 = int(np.floor(px)), int(np.floor(py))
+    fx, fy = px - ix0, py - iy0
+    num = den = 0.0
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            x, y = ix0 + dx, iy0 + dy
+            if 0 <= x < W and 0 <= y < H and not np.isnan(arr[y, x]):
+                num += wy * wx * arr[y, x]
+                den += wy * wx
+    return num / den if den > 0 else np.nan
+
+
+def test_sample_bilinear_matches_bruteforce(spark):
+    """Tiled drill == per-point NumPy, including cross-tile corners,
+    NaN holes, and outside-border points (gx < 0.5 / > nx - 0.5)."""
+    import pandas as pd
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    rng = np.random.default_rng(3)
+    gx = np.concatenate([rng.uniform(0, 64, 150),
+                         [0.2, 63.9, 15.999, 16.001, 31.5]])
+    gy = np.concatenate([rng.uniform(0, 64, 150),
+                         [0.1, 63.8, 16.0, 47.999, 0.4]])
+    pts = pd.DataFrame({"pt_id": np.arange(len(gx)), "gx": gx, "gy": gy})
+    got = (
+        resample.sample_bilinear(spark.createDataFrame(pts), tiles, 16, "z")
+        .toPandas().set_index("pt_id")["value"]
+    )
+    for k in range(len(gx)):
+        want = _brute_bilinear_at(arr, gx[k], gy[k])
+        if np.isnan(want):
+            assert k not in got.index, k
+        else:
+            np.testing.assert_allclose(got[k], want, atol=1e-12, err_msg=str(k))
