@@ -1005,6 +1005,58 @@ FROM interp WHERE den > 0 GROUP BY 1
 """
 
 
+# polygon zones in PIXEL coords (closed rings; vertices off the
+# half-integer lattice so no pixel center sits on an edge; no
+# horizontal edges). zone 1 and 2 overlap — lowest id wins.
+_ZONE_RINGS = [
+    (1, [(6.3, 4.2), (58.7, 12.4), (30.1, 55.6), (6.3, 4.2)]),
+    (2, [(20.2, 18.3), (52.6, 20.7), (48.4, 48.9), (10.9, 44.2), (20.2, 18.3)]),
+]
+
+
+def sq_polygon_zonal(spark: SparkSession, sf: str) -> DataFrame:
+    """The A6 'polygon zones' composition: rasterize polygon ids into a
+    zone band (V1, crossing-parity at pixel centers, lowest id wins on
+    overlap — engine/zonal.rasterize_zones) then reuse the standard
+    zonal_stats partial+final pass against the arithmetic DEM."""
+    from engine import zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = _dem_tiles(spark)
+    zones = zonal.rasterize_zones(tiles, _ZONE_RINGS, 16, "z")
+    return zonal.zonal_stats(tiles.unionAll(zones), 16, "zone", "z")
+
+
+def _polygon_zonal_sql() -> str:
+    rows = ",\n    ".join(
+        f"({zid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for zid, ring in _ZONE_RINGS
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:])
+    )
+    return f"""
+WITH {_DEM_SQL},
+edges(zid, x1, y1, x2, y2) AS (
+  VALUES
+    {rows}
+),
+par AS (
+  SELECT d.i, d.j, e.zid,
+         SUM(CASE WHEN (e.y1 > d.j + 0.5) <> (e.y2 > d.j + 0.5)
+                   AND d.i + 0.5 < e.x1 + (d.j + 0.5 - e.y1)
+                                   / (e.y2 - e.y1) * (e.x2 - e.x1)
+              THEN 1 ELSE 0 END) AS cr
+  FROM dem d CROSS JOIN edges e GROUP BY d.i, d.j, e.zid
+),
+zz AS (SELECT i, j, MIN(zid) AS zone FROM par WHERE cr % 2 = 1 GROUP BY i, j)
+SELECT CAST(zz.zone AS BIGINT) AS zone, COUNT(*) AS n_cells,
+       ROUND(SUM(d.z), 4) AS z_sum,
+       ROUND(SUM(d.z) / COUNT(*), 4) AS z_mean,
+       ROUND(MIN(d.z), 4) AS z_min, ROUND(MAX(d.z), 4) AS z_max
+FROM zz JOIN dem d ON d.i = zz.i AND d.j = zz.j GROUP BY 1
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -1022,6 +1074,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_moran": (sq_moran, SQ_MORAN_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_sample_bilinear": (sq_sample_bilinear, SQ_SAMPLE_BILINEAR_SQL),
+    "sq_polygon_zonal": (sq_polygon_zonal, _polygon_zonal_sql()),
     "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
     "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_stats", "raster_histogram", "zonal_stats"]
+__all__ = ["global_stats", "raster_histogram", "rasterize_zones", "zonal_stats"]
 
 _PARTIAL_SCHEMA = "zone long, n long, s double, mn double, mx double"
 
@@ -77,6 +77,65 @@ def zonal_stats(
             F.round(F.max("mx"), 4).alias("z_max"),
         )
     )
+
+
+def rasterize_zones(
+    tiles: DataFrame,
+    rings: list[tuple[int, list[tuple[float, float]]]],
+    T: int,
+    band: str,
+    zone_band: str = "zone",
+) -> DataFrame:
+    """Rasterize polygon ids into a zone band co-tiled with ``band`` —
+    the SURVEY A6 "polygon zones = rasterize poly ids then reuse"
+    composition (V1 vector→raster feeding zonal_stats).
+
+    ``rings``: [(zone_id, [(x, y), ...closed ring in PIXEL coords])].
+    Pinned semantics (planar, SQL-replicable): pixel (i, j) belongs to
+    a polygon iff its CENTER (i+0.5, j+0.5) has odd crossing parity
+    (strict upper-endpoint rule: edge counts iff (y1 > py) != (y2 > py)
+    and px < x1 + (py−y1)/(y2−y1)·(x2−x1)); overlapping polygons →
+    LOWEST zone_id wins; centers in no polygon → NaN (excluded by
+    zonal_stats). Pick ring vertices off the half-integer lattice so no
+    center lies exactly on an edge — the rule then needs no boundary
+    epsilon.
+
+    Scale: map-only (mapInPandas over the band's tiles; rings ship as a
+    closure constant — polygon sets big enough to matter should go
+    through the J1 cover join instead); per-tile NumPy parity test is
+    vectorized over the tile's pixel grid.
+    """
+    from collections.abc import Iterator
+
+    sub = tiles.filter(F.col("band") == band)
+    ordered = sorted(rings, key=lambda r: r[0])
+
+    def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            datas = []
+            for row in pdf.itertuples(index=False):
+                nr, nc = int(row.nrows), int(row.ncols)
+                cx = int(row.tile_x) * T + np.arange(nc) + 0.5
+                cy = int(row.tile_y) * T + np.arange(nr) + 0.5
+                px = np.broadcast_to(cx, (nr, nc))
+                py = np.broadcast_to(cy[:, None], (nr, nc))
+                zone = np.full((nr, nc), np.nan)
+                for zid, ring in reversed(ordered):  # lowest id paints last
+                    inside = np.zeros((nr, nc), dtype=bool)
+                    for k in range(len(ring) - 1):
+                        (x1, y1), (x2, y2) = ring[k], ring[k + 1]
+                        crosses = (y1 > py) != (y2 > py)
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            xcross = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                        inside ^= crosses & (px < xcross)
+                    zone[inside] = zid
+                datas.append(zone.ravel())
+            out["band"] = zone_band
+            out["data"] = datas
+            yield out
+
+    return sub.mapInPandas(paint, sub.schema)
 
 
 def raster_histogram(

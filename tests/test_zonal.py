@@ -110,3 +110,41 @@ def test_global_stats_matches_numpy(spark):
     np.testing.assert_allclose(got.v_min, v.min(), atol=1e-6)
     np.testing.assert_allclose(got.v_max, v.max(), atol=1e-6)
     np.testing.assert_allclose(got.v_std, v.std(), atol=1e-6)
+
+
+def test_rasterize_zones_matches_bruteforce(spark):
+    """Tiled crossing-parity paint == per-center scalar ray-cast,
+    including the overlap (lowest id wins) and outside->NaN rules."""
+    rings = [
+        (1, [(2.3, 1.2), (28.7, 6.4), (15.1, 27.6), (2.3, 1.2)]),
+        (2, [(10.2, 9.3), (26.6, 10.7), (24.4, 24.9), (5.9, 22.2), (10.2, 9.3)]),
+    ]
+
+    def scalar_zone(px, py):
+        best = np.nan
+        for zid, ring in rings:
+            inside = False
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                if (y1 > py) != (y2 > py) and px < x1 + (py - y1) / (y2 - y1) * (x2 - x1):
+                    inside = not inside
+            if inside and (np.isnan(best) or zid < best):
+                best = zid
+        return best
+
+    arr = fixtures.dem_arith(size=32)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = zonal.rasterize_zones(tiles, rings, 8, "z").toPandas()
+    assert set(out.band) == {"zone"}
+    assert len(out) == 16  # one zone tile per source tile
+    for r in out.itertuples(index=False):
+        got = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        for jj in range(r.nrows):
+            for ii in range(r.ncols):
+                want = scalar_zone(r.tile_x * 8 + ii + 0.5, r.tile_y * 8 + jj + 0.5)
+                g = got[jj, ii]
+                assert (np.isnan(g) and np.isnan(want)) or g == want, (
+                    r.tile_x, r.tile_y, ii, jj, g, want,
+                )
