@@ -1057,6 +1057,148 @@ FROM zz JOIN dem d ON d.i = zz.i AND d.j = zz.j GROUP BY 1
 """
 
 
+_NLINES = 40
+
+
+def sq_rasterize_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Polyline supercover rasterization (engine/vector.rasterize_lines,
+    V4): 40 deterministic segments (some out-of-bounds to exercise the
+    clamps) → exact per-column interval cell sets on a 64×64 grid;
+    per-line cell count + position checksum (pure integers)."""
+    from engine import vector
+
+    lines = spark.range(_NLINES).select(
+        F.col("id").alias("line_id"),
+        (((F.col("id") * 9301 + 49297) % 7400).cast("double") / 100 - 5).alias("x1"),
+        (((F.col("id") * 23333 + 1021) % 7400).cast("double") / 100 - 5).alias("y1"),
+        (((F.col("id") * 48271 + 11) % 7400).cast("double") / 100 - 5).alias("x2"),
+        (((F.col("id") * 69621 + 7) % 7400).cast("double") / 100 - 5).alias("y2"),
+    )
+    cells = vector.rasterize_lines(lines, 64, 64)
+    return cells.groupBy("line_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("i") + 64 * F.col("j")).alias("cell_checksum"),
+    )
+
+
+SQ_RASTERIZE_LINES_SQL = f"""
+WITH raw AS (
+  SELECT k AS line_id,
+         CAST((k * 9301 + 49297) % 7400 AS DOUBLE) / 100 - 5 AS x1,
+         CAST((k * 23333 + 1021) % 7400 AS DOUBLE) / 100 - 5 AS y1,
+         CAST((k * 48271 + 11) % 7400 AS DOUBLE) / 100 - 5 AS x2,
+         CAST((k * 69621 + 7) % 7400 AS DOUBLE) / 100 - 5 AS y2
+  FROM range(0, {_NLINES}) t(k)
+),
+s AS (
+  SELECT line_id,
+         CASE WHEN x2 < x1 THEN x2 ELSE x1 END AS xs1,
+         CASE WHEN x2 < x1 THEN y2 ELSE y1 END AS ys1,
+         CASE WHEN x2 < x1 THEN x1 ELSE x2 END AS xs2,
+         CASE WHEN x2 < x1 THEN y1 ELSE y2 END AS ys2
+  FROM raw
+),
+cols AS (
+  SELECT s.*, c.i,
+         GREATEST(s.xs1, CAST(c.i AS DOUBLE)) AS xlo,
+         LEAST(s.xs2, CAST(c.i AS DOUBLE) + 1.0) AS xhi
+  FROM s CROSS JOIN range(0, 64) c(i)
+  WHERE c.i BETWEEN GREATEST(FLOOR(s.xs1), 0) AND LEAST(FLOOR(s.xs2), 63)
+),
+ys AS (
+  SELECT line_id, i,
+         CASE WHEN xs2 = xs1 THEN LEAST(ys1, ys2)
+              ELSE ys1 + (xlo - xs1) * ((ys2 - ys1) / (xs2 - xs1)) END AS ya,
+         CASE WHEN xs2 = xs1 THEN GREATEST(ys1, ys2)
+              ELSE ys1 + (xhi - xs1) * ((ys2 - ys1) / (xs2 - xs1)) END AS yb
+  FROM cols
+),
+cells AS (
+  SELECT line_id, i, r.j
+  FROM ys CROSS JOIN range(0, 64) r(j)
+  WHERE r.j BETWEEN GREATEST(FLOOR(LEAST(ya, yb)), 0)
+                AND LEAST(FLOOR(GREATEST(ya, yb)), 63)
+)
+SELECT line_id, COUNT(*) AS n_cells,
+       CAST(SUM(i + 64 * j) AS BIGINT) AS cell_checksum
+FROM cells GROUP BY line_id
+"""
+
+
+def sq_polygon_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector measures (engine/vector.polygon_measures): spherical
+    shoelace area, haversine perimeter, vertex centroid of the three
+    fixture polygons (incl. the antimeridian-crossing rect, which the
+    Δλ wrap must measure at its true 16° width) — pure JVM
+    higher-order column fns, map-only."""
+    from engine import fixtures, vector
+
+    rows = [
+        (p["poly_id"], [(float(v["lat"]), float(v["lon"])) for v in p["ring"]])
+        for p in fixtures.polygons()
+    ]
+    polys = spark.createDataFrame(
+        rows, "poly_id int, ring array<struct<lat:double,lon:double>>"
+    )
+    return vector.polygon_measures(polys)
+
+
+def _polygon_measures_sql() -> str:
+    from engine import fixtures
+
+    R = 6371.0088
+    e_rows, v_rows = [], []
+    for p in fixtures.polygons():
+        ring = p["ring"]
+        for a, b in zip(ring[:-1], ring[1:]):
+            e_rows.append(
+                f"({p['poly_id']}, {a['lat']!r}, {a['lon']!r}, "
+                f"{b['lat']!r}, {b['lon']!r})"
+            )
+        for v in ring[:-1]:
+            v_rows.append(f"({p['poly_id']}, {v['lat']!r}, {v['lon']!r})")
+    edges = ",\n    ".join(e_rows)
+    verts = ",\n    ".join(v_rows)
+    wrap = (
+        "CASE WHEN (lo2 - lo1 + 180.0) % 360.0 < 0 "
+        "THEN (lo2 - lo1 + 180.0) % 360.0 + 360.0 "
+        "ELSE (lo2 - lo1 + 180.0) % 360.0 END - 180.0"
+    )
+    hav = (
+        "POW(SIN((RADIANS(la2) - RADIANS(la1)) / 2), 2) "
+        "+ COS(RADIANS(la1)) * COS(RADIANS(la2)) "
+        "* POW(SIN((RADIANS(lo2) - RADIANS(lo1)) / 2), 2)"
+    )
+    return f"""
+WITH edges(poly_id, la1, lo1, la2, lo2) AS (
+  VALUES
+    {edges}
+),
+verts(poly_id, lat, lon) AS (
+  VALUES
+    {verts}
+),
+e AS (
+  SELECT poly_id,
+         SUM(RADIANS({wrap})
+             * (2.0 + SIN(RADIANS(la1)) + SIN(RADIANS(la2)))) AS tot,
+         SUM(2.0 * {R!r} * ASIN(SQRT(LEAST(1.0, GREATEST(0.0, {hav}))))) AS perim
+  FROM edges GROUP BY poly_id
+),
+v AS (
+  SELECT poly_id, COUNT(*) AS n_vertices,
+         SUM(lat) AS slat, SUM(lon) AS slon
+  FROM verts GROUP BY poly_id
+)
+SELECT v.poly_id, CAST(v.n_vertices AS INT) AS n_vertices,
+       ROUND(ABS(e.tot) * {R * R / 2.0!r}, 2) AS area_km2,
+       ROUND(e.perim, 2) AS perim_km,
+       ROUND(v.slat / v.n_vertices, 6) AS c_lat,
+       ROUND(v.slon / v.n_vertices, 6) AS c_lon
+FROM v JOIN e ON e.poly_id = v.poly_id
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -1075,6 +1217,8 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_sample_bilinear": (sq_sample_bilinear, SQ_SAMPLE_BILINEAR_SQL),
     "sq_polygon_zonal": (sq_polygon_zonal, _polygon_zonal_sql()),
+    "sq_rasterize_lines": (sq_rasterize_lines, SQ_RASTERIZE_LINES_SQL),
+    "sq_polygon_measures": (sq_polygon_measures, _polygon_measures_sql()),
     "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
     "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

@@ -33,6 +33,7 @@ from functools import partial
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from engine import tiling
 
@@ -182,3 +183,146 @@ def point_in_rings(
             xint = x0[k] + (py - y0[k]) * (x1[k] - x0[k]) / (y1[k] - y0[k])
             inside ^= cond & (px < xint)
     return inside
+
+
+def rasterize_lines(lines: DataFrame, nx: int, ny: int) -> DataFrame:
+    """Vector→raster for polylines: the exact supercover cell set of
+    each segment — (line_id, i, j) for every in-bounds pixel the
+    segment passes through. Completes the V-family (A2 points, C7/J1
+    polygons, this for lines; gdal_rasterize's line mode analogue).
+
+    Pinned semantics (pure arithmetic, identical in the SQL oracle):
+    sort endpoints by x → (xs1,ys1), (xs2,ys2). Column range
+    i ∈ [floor(xs1), floor(xs2)] (a segment ending exactly on a column
+    boundary contributes its endpoint cell). Within column i the
+    segment's clipped x-interval is [max(xs1,i), min(xs2,i+1)]; its y
+    values at the interval ends (linear interp; a vertical segment
+    uses its full y extent) give the row range j ∈ [floor(min(ya,yb)),
+    floor(max(ya,yb))]. Rows/columns clamp to [0,nx)×[0,ny). Exactly
+    the cells a DDA/Amanatides-Woo traversal visits, but expressed as
+    closed-form per-column intervals.
+
+    Scale design: all-JVM (two explode(sequence) fan-outs + column
+    arithmetic — zero Python, zero shuffle; output is map-side from
+    the lines scan). Fan-out per segment is its supercover size
+    (O(length)), not its bbox area — a 10^4-cell-long diagonal emits
+    ~2·10^4 rows, never 10^8. Long-segment skew is file-parallel
+    (segments are rows); no key ever concentrates.
+    """
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    swap = x2 < x1
+    xs1 = F.when(swap, x2).otherwise(x1)
+    ys1 = F.when(swap, y2).otherwise(y1)
+    xs2 = F.when(swap, x1).otherwise(x2)
+    ys2 = F.when(swap, y1).otherwise(y2)
+    d = lines.select(
+        "line_id",
+        xs1.alias("xs1"), ys1.alias("ys1"),
+        xs2.alias("xs2"), ys2.alias("ys2"),
+    )
+    def span(lo, hi):
+        # Spark's sequence(lo, hi) runs DESCENDING when lo > hi — an
+        # empty clamped range must yield an empty array, not a sweep
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    i = F.col("i")
+    cols = d.withColumn(
+        "i",
+        F.explode(
+            span(
+                F.greatest(F.floor("xs1"), F.lit(0)),
+                F.least(F.floor("xs2"), F.lit(nx - 1)),
+            )
+        ),
+    )
+    xlo = F.greatest(F.col("xs1"), i.cast("double"))
+    xhi = F.least(F.col("xs2"), i.cast("double") + 1.0)
+    vert = F.col("xs2") == F.col("xs1")
+    slope = (F.col("ys2") - F.col("ys1")) / (F.col("xs2") - F.col("xs1"))
+    ya = F.when(vert, F.least("ys1", "ys2")).otherwise(
+        F.col("ys1") + (xlo - F.col("xs1")) * slope
+    )
+    yb = F.when(vert, F.greatest("ys1", "ys2")).otherwise(
+        F.col("ys1") + (xhi - F.col("xs1")) * slope
+    )
+    rows = cols.withColumn("ya", ya).withColumn("yb", yb).withColumn(
+        "j",
+        F.explode(
+            span(
+                F.greatest(F.floor(F.least("ya", "yb")), F.lit(0)),
+                F.least(F.floor(F.greatest("ya", "yb")), F.lit(ny - 1)),
+            )
+        ),
+    )
+    return rows.select(
+        "line_id", i.cast("int").alias("i"), F.col("j").cast("int").alias("j")
+    )
+
+
+def polygon_measures(polys: DataFrame) -> DataFrame:
+    """Vector measures per polygon ring: spherical area, haversine
+    perimeter, vertex centroid — all pure JVM higher-order column
+    expressions (zero shuffle, zero Python; at 10^9 polygons this is a
+    map-only projection).
+
+    Pinned semantics (SQL-replicable; oracle = edge/vertex tables):
+    - ring = closed array<struct<lat,lon>> (last == first);
+    - area (km²) = |Σ_edges Δλ·(2 + sin φ1 + sin φ2)| · R²/2 with
+      Δλ in radians wrapped to (−180°,180°] via the
+      mod-then-conditional-add idiom — the classic spherical-excess
+      shoelace (turf.js / Karney "planimeter-lite"); the wrap makes an
+      antimeridian-crossing ring (fixture P3, lon stored >180) measure
+      its true 16°-wide extent, not the 344° complement;
+    - perimeter (km) = Σ haversine(edge), same clamp/constants as
+      udfs.haversine_col (R=6371.0088);
+    - centroid = arithmetic vertex mean over the ring WITHOUT the
+      closing vertex (documented approximation — it is NOT the area
+      centroid, and for a seam-crossing ring it averages the stored,
+      un-normalized lons).
+    """
+    R = 6371.0088
+    edges = (
+        "zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1), "
+        "(a, b) -> struct(a.lat AS la1, a.lon AS lo1, b.lat AS la2, b.lon AS lo2))"
+    )
+    wrap = (
+        "CASE WHEN (e.lo2 - e.lo1 + 180.0) % 360.0 < 0 "
+        "THEN (e.lo2 - e.lo1 + 180.0) % 360.0 + 360.0 "
+        "ELSE (e.lo2 - e.lo1 + 180.0) % 360.0 END - 180.0"
+    )
+    area_term = (
+        f"radians({wrap}) * (2.0 + sin(radians(e.la1)) + sin(radians(e.la2)))"
+    )
+    hav = (
+        "pow(sin((radians(e.la2) - radians(e.la1)) / 2), 2) "
+        "+ cos(radians(e.la1)) * cos(radians(e.la2)) "
+        "* pow(sin((radians(e.lo2) - radians(e.lo1)) / 2), 2)"
+    )
+    edge_km = f"2.0 * {R} * asin(sqrt(least(1.0d, greatest(0.0d, {hav}))))"
+    open_ring = "slice(ring, 1, size(ring) - 1)"
+    return polys.select(
+        "poly_id",
+        F.expr("size(ring) - 1").alias("n_vertices"),
+        F.round(
+            F.expr(
+                f"abs(aggregate({edges}, 0.0d, (acc, e) -> acc + {area_term}))"
+            )
+            * (R * R / 2.0),
+            2,
+        ).alias("area_km2"),
+        F.round(
+            F.expr(f"aggregate({edges}, 0.0d, (acc, e) -> acc + {edge_km})"), 2
+        ).alias("perim_km"),
+        F.round(
+            F.expr(f"aggregate({open_ring}, 0.0d, (acc, v) -> acc + v.lat)")
+            / F.expr("size(ring) - 1"),
+            6,
+        ).alias("c_lat"),
+        F.round(
+            F.expr(f"aggregate({open_ring}, 0.0d, (acc, v) -> acc + v.lon)")
+            / F.expr("size(ring) - 1"),
+            6,
+        ).alias("c_lon"),
+    )

@@ -88,3 +88,75 @@ def test_polygonize_tile_size_invariance(spark, T):
     # free invariant): total outer area minus holes == # labeled cells
     area = rings.signed_area.sum()
     assert area == np.isfinite(arr).sum()
+
+
+def _clip_interval(x1, y1, x2, y2, i, j):
+    """Liang-Barsky param interval of the segment inside the CLOSED
+    unit box [i,i+1]x[j,j+1]; None if empty."""
+    t0, t1 = 0.0, 1.0
+    dx, dy = x2 - x1, y2 - y1
+    for p, q in ((-dx, x1 - i), (dx, i + 1 - x1), (-dy, y1 - j), (dy, j + 1 - y1)):
+        if p == 0:
+            if q < 0:
+                return None
+        else:
+            t = q / p
+            if p < 0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+    return (t0, t1) if t0 <= t1 else None
+
+
+def test_rasterize_lines_supercover_sandwich(spark):
+    """Engine cells sit between the strict-interior hit set and the
+    closed-box hit set of an independent Liang-Barsky clip — catches
+    both missed cells and spurious sweeps (e.g. the descending-
+    sequence trap on clamped-empty ranges)."""
+    import pandas as pd
+    from engine.vector import rasterize_lines
+
+    rng = np.random.default_rng(5)
+    n = 25
+    lines = pd.DataFrame(
+        {
+            "line_id": np.arange(n),
+            "x1": rng.uniform(-4, 20, n),
+            "y1": rng.uniform(-4, 20, n),
+            "x2": rng.uniform(-4, 20, n),
+            "y2": rng.uniform(-4, 20, n),
+        }
+    )
+    # add a vertical, a horizontal, and a fully-out-of-bounds segment
+    extra = pd.DataFrame(
+        {
+            "line_id": [n, n + 1, n + 2],
+            "x1": [5.3, 1.1, -9.0], "y1": [2.2, 7.7, -9.0],
+            "x2": [5.3, 14.6, -3.0], "y2": [13.8, 7.7, -2.0],
+        }
+    )
+    lines = pd.concat([lines, extra], ignore_index=True)
+    got = (
+        rasterize_lines(spark.createDataFrame(lines), 16, 16)
+        .toPandas().groupby("line_id").apply(
+            lambda g: set(zip(g.i, g.j)), include_groups=False
+        ).to_dict()
+    )
+    for r in lines.itertuples(index=False):
+        cells = got.get(r.line_id, set())
+        closed, interior = set(), set()
+        for i in range(16):
+            for j in range(16):
+                t = _clip_interval(r.x1, r.y1, r.x2, r.y2, i, j)
+                if t is None:
+                    continue
+                closed.add((i, j))
+                if t[1] - t[0] > 1e-9:
+                    mx = r.x1 + (r.x2 - r.x1) * (t[0] + t[1]) / 2
+                    my = r.y1 + (r.y2 - r.y1) * (t[0] + t[1]) / 2
+                    if i < mx < i + 1 and j < my < j + 1:
+                        interior.add((i, j))
+        assert interior <= cells <= closed, (
+            r.line_id, interior - cells, cells - closed,
+        )
+    assert got.get(n + 2, set()) == set()  # fully out of bounds
