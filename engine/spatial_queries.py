@@ -1199,6 +1199,53 @@ FROM v JOIN e ON e.poly_id = v.poly_id
 """
 
 
+_P58 = 1 << 58  # grid.cell_id_pack level shift as a BIGINT factor
+
+
+def sq_compact_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """C8 cell-set compaction (engine/udfs.compact_cells): 600 scattered
+    level-6 cells ∪ the complete morton block [0,64) (which must
+    telescope three levels to a single level-3 cell); per-output-level
+    cell count + morton checksum."""
+    from engine import udfs
+
+    m = (
+        spark.range(600)
+        .select(((F.col("id") * 2654435761) % 4096).alias("m"))
+        .union(spark.range(64).select(F.col("id").alias("m")))
+        .distinct()
+    )
+    cells = m.select((F.lit(6 * _P58) + F.col("m")).alias("cell_id"))
+    out = udfs.compact_cells(cells, 6, min_level=3)
+    return out.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("cell_id").bitwiseAND(F.lit(_P58 - 1))).alias("morton_sum"),
+    )
+
+
+SQ_COMPACT_SQL = f"""
+WITH m6 AS (
+  SELECT DISTINCT (k * 2654435761) % 4096 AS m FROM range(0, 600) t(k)
+  UNION SELECT r.m FROM range(0, 64) r(m)
+),
+f5 AS (SELECT m // 4 AS m FROM m6 GROUP BY 1 HAVING COUNT(*) = 4),
+k6 AS (SELECT m FROM m6 WHERE m // 4 NOT IN (SELECT m FROM f5)),
+f4 AS (SELECT m // 4 AS m FROM f5 GROUP BY 1 HAVING COUNT(*) = 4),
+k5 AS (SELECT m FROM f5 WHERE m // 4 NOT IN (SELECT m FROM f4)),
+f3 AS (SELECT m // 4 AS m FROM f4 GROUP BY 1 HAVING COUNT(*) = 4),
+k4 AS (SELECT m FROM f4 WHERE m // 4 NOT IN (SELECT m FROM f3)),
+out AS (
+  SELECT 6 AS level, m FROM k6
+  UNION ALL SELECT 5, m FROM k5
+  UNION ALL SELECT 4, m FROM k4
+  UNION ALL SELECT 3, m FROM f3
+)
+SELECT CAST(level AS INT) AS level, COUNT(*) AS n_cells,
+       CAST(SUM(m) AS BIGINT) AS morton_sum
+FROM out GROUP BY 1
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -1219,6 +1266,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_polygon_zonal": (sq_polygon_zonal, _polygon_zonal_sql()),
     "sq_rasterize_lines": (sq_rasterize_lines, SQ_RASTERIZE_LINES_SQL),
     "sq_polygon_measures": (sq_polygon_measures, _polygon_measures_sql()),
+    "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),
     "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
     "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

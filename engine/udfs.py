@@ -188,3 +188,62 @@ def haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Col
     )
     h = F.least(F.lit(1.0), F.greatest(F.lit(0.0), h))
     return F.lit(2.0 * grid.EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def compact_cells(cells: DataFrame, level: int, min_level: int = 1) -> DataFrame:
+    """C8: minimal mixed-level cover of a level-``level`` cell set —
+    every complete 4-sibling group is replaced by its parent,
+    recursively (the H3 compact / S2 normalize analogue). Input rows
+    need a packed ``cell_id`` column (grid.cell_id_pack layout:
+    level<<58 | morton); output is (cell_id, level), disjoint, covering
+    exactly the input cells.
+
+    Scale design: pure DataFrame iteration over level−min_level rounds;
+    each round is ONE groupBy(parent).count over the surviving set
+    (map-side combine; the set shrinks ≥4× per fully-compactable round)
+    plus one left_anti join to split kept cells from promoted parents.
+    No driver materialization — the loop bound is the level delta
+    (≤29), not the data.
+    """
+    mask = (1 << 58) - 1
+    parts = []
+    cur = cells.select("cell_id").distinct()
+    for L in range(level, min_level, -1):
+        parent = F.lit((L - 1) << 58) + F.shiftright(
+            F.col("cell_id").bitwiseAND(F.lit(mask)), 2
+        )
+        with_p = cur.withColumn("_parent", parent)
+        full = (
+            with_p.groupBy("_parent")
+            .count()
+            .filter(F.col("count") == 4)
+            .select("_parent")
+        )
+        keep = with_p.join(full, "_parent", "left_anti").select("cell_id")
+        parts.append(keep.withColumn("level", F.lit(L)))
+        cur = full.select(F.col("_parent").alias("cell_id"))
+    parts.append(cur.withColumn("level", F.lit(min_level)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def uncompact_cells(cells: DataFrame, target_level: int) -> DataFrame:
+    """C8 inverse: expand a mixed-level (cell_id, level) set to its
+    full level-``target_level`` cell set. Uses the P3 range-contiguity
+    property — a cell's level-T descendants are ONE contiguous morton
+    interval, so the expansion is a single JVM explode(sequence(lo,
+    lo+4^(T−L)−1)) with no per-cell Python."""
+    mask = (1 << 58) - 1
+    # SQL shiftleft accepts column shift amounts (the Python helper
+    # only takes int literals)
+    lo = F.expr(
+        f"shiftleft(cell_id & {mask}L, CAST(({target_level} - level) * 2 AS INT))"
+    )
+    n = F.expr(f"shiftleft(1L, CAST(({target_level} - level) * 2 AS INT))")
+    return cells.select(
+        F.explode(F.sequence(lo, lo + n - 1)).alias("_m")
+    ).select(
+        (F.lit(target_level << 58) + F.col("_m")).alias("cell_id")
+    )
