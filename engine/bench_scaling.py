@@ -336,9 +336,18 @@ Criterion over the two BASELINE.json metrics (tiles/sec, join rows/sec):
 
 The pipeline leg is a five-stage end-to-end composite (string-parse
 scan → geocode → encode → rasterize → focal) we added beyond the
-BASELINE metrics; its dominant geocode stage measures 4.2x at 4x cores
-in isolation, but the composite's 15-20 s 4N runs are the most exposed
-to the host's noise windows (see per_sec_all spreads in scaling.json).
+BASELINE metrics. Stage-split diagnosis (pinned, fresh sessions,
+2026-08-17): the composite is dominated by the rasterize shuffle
+(47.9 s at 2 cores → 14.8 s at 8, 0.81 efficiency in isolation —
+shuffle write+read of the per-cell combine is memory-BANDWIDTH-bound,
+and the single-box proxy shares one bus across levels where real
+executors each bring their own), plus a 328-output-tile focal tail
+whose wall time rises with parallelism (2.2 s at 2 cores, 3.7 s at 8:
+4x shuffle partitions over a fixed 328-group tail = more Arrow batch
+boundaries and scheduling than work). Neither term is a plan defect —
+the shuffle is one combine-enabled exchange and the tail has more
+cores than groups; both shrink on a real cluster (per-executor
+bandwidth, bigger tile counts).
 
 Best-of is reported alongside the median because the host VM exhibits
 intermittent multi-second noise windows (per-run spreads are recorded
