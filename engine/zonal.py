@@ -21,12 +21,20 @@ Pinned semantics:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_stats", "raster_histogram", "rasterize_zones", "zonal_stats"]
+__all__ = [
+    "global_stats",
+    "quantile_exact",
+    "raster_histogram",
+    "rasterize_zones",
+    "zonal_stats",
+]
 
 _PARTIAL_SCHEMA = "zone long, n long, s double, mn double, mx double"
 
@@ -223,3 +231,116 @@ def global_stats(tiles: DataFrame, band: str) -> DataFrame:
         F.round(F.max("mx"), 6).alias("v_max"),
         F.round(F.sqrt(s2 / n - (s / n) * (s / n)), 6).alias("v_std"),
     )
+
+
+def quantile_exact(
+    tiles: DataFrame,
+    band: str,
+    qs: list[float],
+    nbins: int = 4096,
+    tail: int = 65536,
+) -> list[float]:
+    """EXACT discrete quantiles of a band — the scale-correct
+    alternative to percentile_approx: iterative histogram k-selection.
+    Returns the element of rank ceil(q·n) (1-based, DuckDB
+    quantile_disc semantics) for each q.
+
+    Scale design: each round is one mapInPandas bincount over the
+    values still inside the candidate interval (map-side partials →
+    ≤nbins+1-row merge → driver picks the bin holding the target
+    rank). The interval shrinks ~nbins× per round, so a full f64 range
+    resolves in 2-3 rounds; when ≤``tail`` values remain the exact
+    element comes from one small sorted collect. Driver traffic is
+    O(nbins + tail) per quantile — never the data.
+    """
+    from collections.abc import Iterator
+
+    sub = tiles.filter(F.col("band") == band).select("data")
+
+    def counter(lo: float, hi: float):
+        # bincount of values in [lo, hi); hi=None means unbounded top
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w = (hi - lo) / nbins
+            for pdf in batches:
+                vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+                if not vs:
+                    continue
+                v = np.concatenate(vs)
+                v = v[np.isfinite(v)]
+                v = v[(v >= lo) & (v < hi)]
+                if len(v) == 0:
+                    continue
+                b = np.minimum((np.floor((v - lo) / w)).astype(np.int64), nbins - 1)
+                u, inv = np.unique(b, return_inverse=True)
+                yield pd.DataFrame({"bin": u, "n": np.bincount(inv)})
+
+        pdf = (
+            sub.mapInPandas(run, "bin long, n long")
+            .groupBy("bin").agg(F.sum("n").alias("n"))
+            .toPandas()
+        )
+        counts = np.zeros(nbins, dtype=np.int64)
+        if len(pdf):
+            counts[pdf["bin"].to_numpy()] = pdf["n"].to_numpy()
+        return counts
+
+    # global n / bounds — UNROUNDED (global_stats rounds its extrema
+    # for oracle-hash stability; a rounded-up min would clip real
+    # values out of the candidate interval and corrupt every rank)
+    def bounds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v):
+                yield pd.DataFrame(
+                    {"n": [len(v)], "mn": [v.min()], "mx": [v.max()]}
+                )
+
+    g = (
+        sub.mapInPandas(bounds, "n long, mn double, mx double")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .collect()[0]
+    )
+    n = int(g.n)
+    out = []
+    for q in qs:
+        k = max(1, int(math.ceil(q * n)))  # 1-based target rank
+        lo, hi = float(g.mn), float(g.mx) + 1e-9
+        remaining = n
+        while remaining > tail:
+            counts = counter(lo, hi)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k))
+            k -= int(cum[b - 1]) if b > 0 else 0
+            w = (hi - lo) / nbins
+            lo, hi = lo + b * w, lo + (b + 1) * w
+            remaining = int(counts[b])
+            if remaining == 0:  # degenerate (all equal): bin holds it
+                break
+
+        def collect_vals(lo=lo, hi=hi):
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+                    if not vs:
+                        continue
+                    v = np.concatenate(vs)
+                    v = v[np.isfinite(v)]
+                    v = v[(v >= lo) & (v < hi)]
+                    if len(v):
+                        yield pd.DataFrame({"v": v})
+
+            return np.sort(
+                sub.mapInPandas(run, "v double").toPandas()["v"].to_numpy()
+            )
+
+        vals = collect_vals()
+        out.append(float(vals[k - 1]))
+    return out

@@ -148,3 +148,31 @@ def test_rasterize_zones_matches_bruteforce(spark):
                 assert (np.isnan(g) and np.isnan(want)) or g == want, (
                     r.tile_x, r.tile_y, ii, jj, g, want,
                 )
+
+
+def test_quantile_exact_forces_iteration(spark):
+    """tail small enough that the histogram k-select must iterate;
+    result must equal the element-exact NumPy rank ceil(q*n)."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    v = np.sort(arr[np.isfinite(arr)])
+    n = len(v)
+    got = zonal.quantile_exact(tiles, "z", [0.1, 0.5, 0.9], nbins=16, tail=40)
+    for q, g in zip([0.1, 0.5, 0.9], got):
+        want = v[max(1, int(np.ceil(q * n))) - 1]
+        assert g == want, (q, g, want)
+
+
+def test_quantile_exact_extremes(spark):
+    arr = fixtures.dem_arith(size=32)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    v = np.sort(arr[np.isfinite(arr)])
+    got = zonal.quantile_exact(tiles, "z", [0.0, 1.0], nbins=8, tail=30)
+    assert got[0] == v[0]   # rank max(1, ceil(0)) = 1
+    assert got[1] == v[-1]  # rank ceil(n) = n
