@@ -747,6 +747,39 @@ FROM ranked WHERE rk <= CEIL(0.10 * n) GROUP BY lang
 """
 
 
+def q37_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested deterministic subsamples (engine/sampling.sample_fraction):
+    the 5% hash sample is BY CONSTRUCTION a subset of the 20% one
+    (bucket thresholds nest) — one row per fraction with count +
+    id checksum; the nesting shows up as identical intersection counts
+    in both engines."""
+    from engine import sampling
+
+    docs = _T(spark, sf, "documents")
+    out = None
+    for frac in (0.05, 0.20):
+        s = sampling.sample_fraction(docs, "doc_id", frac).agg(
+            F.lit(frac).alias("frac"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        out = s if out is None else out.unionAll(s)
+    return out
+
+
+def _q37_sql() -> str:
+    from engine import sampling
+
+    b = sampling.bucket_sql("doc_id")
+    parts = [
+        f"SELECT {frac} AS frac, COUNT(*) AS n_docs, "
+        f"CAST(SUM(doc_id) AS BIGINT) AS id_checksum "
+        f"FROM documents WHERE ({b}) < {int(round(frac * 10000))}"
+        for frac in (0.05, 0.20)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_topk_orders_per_customer": (q02_topk_orders_per_customer, Q02_SQL),
@@ -770,4 +803,5 @@ SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q34_hash_split": (q34_hash_split, _q34_sql()),
     "q35_stratified_sample": (q35_stratified_sample, _q35_sql()),
     "q36_radius_join": (q36_radius_join, Q36_SQL),
+    "q37_hash_sample": (q37_hash_sample, _q37_sql()),
 }
