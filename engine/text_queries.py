@@ -562,15 +562,63 @@ def _q24_sql() -> str:
     return Q11_SQL
 
 
+def q19_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """D4+D5 consolidated (one driver row, both operators exercised):
+    16-bit SimHash joined with the w=5 winnowing fingerprint summary
+    per document — same registry semantics as the former q19_simhash /
+    q20_winnow_fingerprint entries."""
+    return q19_simhash(spark, sf).join(
+        q20_winnow_fingerprint(spark, sf), "doc_id"
+    )
+
+
+Q19_FP_SQL = f"""
+SELECT s.doc_id, s.simhash, w.n_fp, w.fp_min, w.fp_max
+FROM ({Q19_SQL}) s JOIN ({Q20_SQL}) w ON w.doc_id = s.doc_id
+"""
+
+
+def q22_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """D10 consolidated (one driver row, both stages exercised): IVF
+    cell assignment summary ('assign' rows: cell_id/n_vecs/avg_cos)
+    unioned with probe-2 top-3 search results ('search' rows:
+    q_vec/rank/vec_id/cos_sim) — former q22_ivf_assign /
+    q23_ivf_search entries."""
+    a = q22_ivf_assign(spark, sf).select(
+        F.lit("assign").alias("part"),
+        F.col("cell_id").cast("long").alias("a"),
+        F.col("n_vecs").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("avg_cos").alias("v"),
+    )
+    b = q23_ivf_search(spark, sf).select(
+        F.lit("search").alias("part"),
+        F.col("q_vec").cast("long").alias("a"),
+        F.col("rank").cast("long").alias("b"),
+        F.col("vec_id").cast("long").alias("c"),
+        F.col("cos_sim").alias("v"),
+    )
+    return a.unionAll(b)
+
+
+Q22_IVF_SQL = f"""
+SELECT 'assign' AS part, CAST(cell_id AS BIGINT) AS a,
+       CAST(n_vecs AS BIGINT) AS b, CAST(0 AS BIGINT) AS c, avg_cos AS v
+FROM ({Q22_SQL})
+UNION ALL
+SELECT 'search', CAST(q_vec AS BIGINT), CAST(rank AS BIGINT),
+       CAST(vec_id AS BIGINT), cos_sim
+FROM ({Q23_SQL})
+"""
+
+
 TEXT_QUERIES = {
     "q16_pip_rect": (q16_pip_rect, Q16_SQL),
     "q17_token_jaccard": (q17_token_jaccard, Q17_SQL),
     "q18_minhash_lsh": (q18_minhash_lsh, Q18_SQL),
-    "q19_simhash": (q19_simhash, Q19_SQL),
-    "q20_winnow_fingerprint": (q20_winnow_fingerprint, Q20_SQL),
+    "q19_fingerprints": (q19_fingerprints, Q19_FP_SQL),
     "q21_langid": (q21_langid, Q21_SQL),
-    "q22_ivf_assign": (q22_ivf_assign, Q22_SQL),
-    "q23_ivf_search": (q23_ivf_search, Q23_SQL),
+    "q22_ivf": (q22_ivf, Q22_IVF_SQL),
 }
 
 
