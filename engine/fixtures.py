@@ -284,6 +284,27 @@ def polygons() -> list[dict]:
     ]
 
 
+def polygons_holed() -> list[dict]:
+    """polygons() + P4: a square with a square HOLE (multi-ring
+    even-odd model — points inside the hole are OUTSIDE the polygon,
+    hole boundary counts as inside, §5.3.6 extended)."""
+    outer = [
+        {"lat": 15.0, "lon": 60.0},
+        {"lat": 15.0, "lon": 95.0},
+        {"lat": 45.0, "lon": 95.0},
+        {"lat": 45.0, "lon": 60.0},
+        {"lat": 15.0, "lon": 60.0},
+    ]
+    hole = [
+        {"lat": 24.0, "lon": 70.0},
+        {"lat": 24.0, "lon": 86.0},
+        {"lat": 38.0, "lon": 86.0},
+        {"lat": 38.0, "lon": 70.0},
+        {"lat": 24.0, "lon": 70.0},
+    ]
+    return polygons() + [{"poly_id": 4, "ring": outer, "holes": [hole]}]
+
+
 def query_points(n: int = 1000, seed: int = 42) -> pd.DataFrame:
     """Seeded points: ~half clustered near/inside the polygons, some
     exactly on edges/vertices (boundary = inside, §5.3.6)."""

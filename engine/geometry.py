@@ -33,11 +33,11 @@ def _reframe_lon(lon: np.ndarray, ring_lon_min: float) -> np.ndarray:
     return ring_lon_min + np.mod(lon - ring_lon_min, 360.0)
 
 
-def point_in_polygon(
+def _ring_parity_edge(
     lat: np.ndarray, lon: np.ndarray, ring: list[dict]
-) -> np.ndarray:
-    """Boolean mask; fully vectorized over points (edges looped — rings
-    are small)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """(crossing parity, on-any-edge) masks for one ring — the shared
+    core of the single-ring and holed tests."""
     rlat, rlon = _ring_arrays(ring)
     lat = np.asarray(lat, dtype=np.float64)
     lon = _reframe_lon(np.asarray(lon, dtype=np.float64), float(rlon.min()))
@@ -61,7 +61,40 @@ def point_in_polygon(
         with np.errstate(divide="ignore", invalid="ignore"):
             lon_x = lo1 + (lat - la1) / (la2 - la1) * (lo2 - lo1)
         inside ^= crosses & (lon < lon_x)
+    return inside, on_edge
+
+
+def point_in_polygon(
+    lat: np.ndarray, lon: np.ndarray, ring: list[dict]
+) -> np.ndarray:
+    """Boolean mask; fully vectorized over points (edges looped — rings
+    are small)."""
+    inside, on_edge = _ring_parity_edge(lat, lon, ring)
     return inside | on_edge
+
+
+def point_in_rings(
+    lat: np.ndarray, lon: np.ndarray, rings: list[list[dict]]
+) -> np.ndarray:
+    """Even-odd test over outer ring + holes (``rings[0]`` = outer,
+    rest = holes): combined crossing parity (a point inside exactly one
+    hole XORs back to outside), with every ring's boundary — hole
+    boundaries included — counting as INSIDE (§5.3.6 extended to
+    multi-ring polygons)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    parity = np.zeros(np.shape(lat), dtype=bool)
+    on_edge = np.zeros(np.shape(lat), dtype=bool)
+    for ring in rings:
+        p, e = _ring_parity_edge(lat, lon, ring)
+        parity ^= p
+        on_edge |= e
+    return parity | on_edge
+
+
+def poly_rings(p: dict) -> list[list[dict]]:
+    """[outer] + holes for a polygon dict ({'ring': ..., 'holes':
+    optional list of rings})."""
+    return [p["ring"]] + list(p.get("holes") or [])
 
 
 def polygon_bbox(ring: list[dict]) -> tuple[float, float, float, float]:
@@ -95,7 +128,9 @@ def _edge_supercover(x0: float, y0: float, x1: float, y1: float) -> tuple[np.nda
     return ix_all, iy_all
 
 
-def polygon_cell_cover(ring: list[dict], level: int) -> np.ndarray:
+def polygon_cell_cover(
+    ring: list[dict], level: int, holes: list[list[dict]] | None = None
+) -> np.ndarray:
     """C7: the level-`level` cells intersecting the polygon — refined
     cover (round 2; the round-1 version returned the full bbox cell
     set, inflating J1 candidates by the bbox/polygon area ratio for
@@ -108,20 +143,24 @@ def polygon_cell_cover(ring: list[dict], level: int) -> np.ndarray:
     packed cell ids."""
     from engine import grid
 
-    rlat, rlon = _ring_arrays(ring)
     lat_lo, lat_hi, lon_lo, lon_hi = polygon_bbox(ring)
     nc, nr = grid.grid_shape(level)
     dlon = 360.0 / nc
     dlat = 180.0 / nr
-    # boundary cells: supercover of each edge in continuous grid coords
-    xs = (rlon + 180.0) / dlon
-    ys = (rlat + 90.0) / dlat
+    # boundary cells: supercover of each edge (outer AND hole rings —
+    # a cell straddling a hole edge still intersects the polygon) in
+    # continuous grid coords
+    all_rings = [ring] + list(holes or [])
     bi: list[np.ndarray] = []
     bj: list[np.ndarray] = []
-    for k in range(len(xs) - 1):
-        ix, iy = _edge_supercover(xs[k], ys[k], xs[k + 1], ys[k + 1])
-        bi.append(ix)
-        bj.append(iy)
+    for rg in all_rings:
+        rlat, rlon = _ring_arrays(rg)
+        xs = (rlon + 180.0) / dlon
+        ys = (rlat + 90.0) / dlat
+        for k in range(len(xs) - 1):
+            ix, iy = _edge_supercover(xs[k], ys[k], xs[k + 1], ys[k + 1])
+            bi.append(ix)
+            bj.append(iy)
     # interior cells: bbox candidates whose CENTER is inside the ring
     j_lo = max(0, int(np.floor((lat_lo + 90.0) / dlat)))
     j_hi = min(nr - 1, int(np.floor((lat_hi + 90.0) / dlat)))
@@ -135,7 +174,7 @@ def polygon_cell_cover(ring: list[dict], level: int) -> np.ndarray:
     gi, gj = gi.ravel(), gj.ravel()
     c_lat = (gj + 0.5) * dlat - 90.0
     c_lon = (gi + 0.5) * dlon - 180.0
-    inside = point_in_polygon(c_lat, c_lon, ring)
+    inside = point_in_rings(c_lat, c_lon, all_rings)
     ii = np.concatenate(bi + [gi[inside]])
     jj = np.concatenate(bj + [gj[inside]])
     ok = (jj >= 0) & (jj < nr)

@@ -37,7 +37,9 @@ def cover_table(
     """C7: broadcastable (cell_id, poly_id) cover rows."""
     rows = []
     for p in polys:
-        for cid in geometry.polygon_cell_cover(p["ring"], level):
+        for cid in geometry.polygon_cell_cover(
+            p["ring"], level, p.get("holes")
+        ):
             rows.append((int(cid), int(p["poly_id"])))
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["cell_id", "poly_id"])
@@ -83,7 +85,7 @@ def pip_join(
     ).drop("cell_id", "_pipcell")
     if not exact:
         return cand
-    rings = {int(p["poly_id"]): p["ring"] for p in polys}
+    rings = {int(p["poly_id"]): geometry.poly_rings(p) for p in polys}
     out_schema = cand.schema
 
     def refine(it):
@@ -95,10 +97,10 @@ def pip_join(
             la = pdf[lat].to_numpy(dtype=np.float64)
             lo = pdf[lon].to_numpy(dtype=np.float64)
             pid = pdf["poly_id"].to_numpy()
-            for p, ring in rings.items():
+            for p, rr in rings.items():
                 sel = pid == p
                 if sel.any():
-                    keep[sel] = geometry.point_in_polygon(la[sel], lo[sel], ring)
+                    keep[sel] = geometry.point_in_rings(la[sel], lo[sel], rr)
             yield pdf[keep]
 
     return cand.mapInPandas(refine, out_schema)
@@ -128,11 +130,11 @@ def _pip_join_fused(
     pairs = sorted(
         (int(cid), int(p["poly_id"]))
         for p in polys
-        for cid in geometry.polygon_cell_cover(p["ring"], level)
+        for cid in geometry.polygon_cell_cover(p["ring"], level, p.get("holes"))
     )
     cells_sorted = np.array([c for c, _ in pairs], dtype=np.int64)
     poly_sorted = np.array([p for _, p in pairs], dtype=np.int64)
-    rings = {int(p["poly_id"]): p["ring"] for p in polys}
+    rings = {int(p["poly_id"]): geometry.poly_rings(p) for p in polys}
 
     @F.pandas_udf(ArrayType(LongType()))
     def pip_polys(la_s: pd.Series, lo_s: pd.Series) -> pd.Series:
@@ -151,11 +153,11 @@ def _pip_join_fused(
         pid = poly_sorted[np.repeat(left, n) + offs]
         if exact:
             keep = np.zeros(total, dtype=bool)
-            for pp, ring in rings.items():
+            for pp, rr in rings.items():
                 sel = pid == pp
                 if sel.any():
-                    keep[sel] = geometry.point_in_polygon(
-                        la[reps[sel]], lo[reps[sel]], ring
+                    keep[sel] = geometry.point_in_rings(
+                        la[reps[sel]], lo[reps[sel]], rr
                     )
             reps, pid = reps[keep], pid[keep]
         out = [empty] * len(la)
@@ -324,13 +326,37 @@ def knn_join(
     return out
 
 
+def choose_level_for_radius(
+    radius_km: float, design_abs_lat: float = 60.0
+) -> int:
+    """Finest grid level whose min cell dimension (at ``design_abs_lat``)
+    still covers ``radius_km`` — the ring stays r=2 and every query with
+    |lat| <= design_abs_lat is provably covered by the plate-carrée
+    margin, bounding the broadcast-fallback band to the polar caps
+    beyond the design latitude. Pass the max |lat| your queries reach
+    as design_abs_lat to make the fallback share (near-)zero."""
+    best = 1
+    for L in range(1, 30):
+        nc, nr_ = grid.grid_shape(L)
+        dlat_km = (180.0 / nr_) * KM_PER_DEG
+        dlon_km = (360.0 / nc) * KM_PER_DEG * float(
+            np.cos(np.radians(design_abs_lat))
+        )
+        if min(dlat_km, dlon_km) >= radius_km:
+            best = L
+        else:
+            break
+    return best
+
+
 def radius_join(
     queries: DataFrame,
     points: DataFrame,
     radius_km: float,
-    level: int,
+    level: int | None = None,
     point_id: str = "doc_id",
     design_abs_lat: float = 60.0,
+    log_stragglers: bool = False,
 ) -> DataFrame:
     """All (query, point) pairs within ``radius_km`` (haversine) — the
     within-distance companion of knn_join. Returns (q_id, <point_id>,
@@ -345,7 +371,15 @@ def radius_join(
     fall back to a broadcast cross-join — still distributed, never a
     driver loop. Points shuffle once onto their cell key; candidates
     arrive via the cell equi-join and one haversine filter.
+
+    level=None auto-picks via choose_level_for_radius so the fallback
+    band is bounded by design_abs_lat; log_stragglers=True pays one
+    count() on the (small) query side and warns with the fallback
+    share — the degenerate case (most queries above the design
+    latitude at a coarse level) degrades toward points × queries.
     """
+    if level is None:
+        level = choose_level_for_radius(radius_km, design_abs_lat)
     nc, nr_ = grid.grid_shape(level)
     dlat_km = (180.0 / nr_) * KM_PER_DEG
     dlon_km = (360.0 / nc) * KM_PER_DEG * float(
@@ -365,6 +399,19 @@ def radius_join(
     )
     covered = q.filter(F.col("_margin") >= radius_km)
     stragglers = q.filter(F.col("_margin") < radius_km)
+    if log_stragglers:
+        import sys
+
+        n_all = q.count()
+        n_str = stragglers.count()
+        if n_str:
+            print(
+                f"# radius_join: {n_str}/{n_all} queries "
+                f"({100.0 * n_str / max(n_all, 1):.1f}%) fall back to the "
+                f"broadcast path (ring margin < {radius_km} km at level "
+                f"{level}; raise design_abs_lat or lower level)",
+                file=sys.stderr,
+            )
 
     dist = udfs.haversine_col(
         F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon")

@@ -178,11 +178,16 @@ def _distributed_min_label(
 # W14: the full distributed patch build
 # ---------------------------------------------------------------------------
 
+# plane / strip payloads are PACKED BINARY (little-endian int64 /
+# float64 bytes), not list-typed arrays: the label plane is T² values
+# per tile and the Arrow boundary prices a Python list of ints ~3× a
+# binary blob (same study as the TILES payload format); attrs stay
+# array-typed — they are per-LABEL (≪ pixels) and feed a JVM explode.
 _LABEL_STAGE_SCHEMA = (
     "tile_x int, tile_y int, kind string, "
     "labels array<long>, klass array<double>, area array<long>, perim array<long>, "
-    "min_gidx array<long>, "
-    "strip_labels array<long>, strip_klass array<double>, border string"
+    "min_gidx array<long>, plane binary, "
+    "strip_labels binary, strip_klass binary, border string"
 )
 
 # global cell index stride: gidx = gy * 2^32 + gx — row-major global
@@ -218,7 +223,7 @@ def build_patches(
         if got is None:
             return pd.DataFrame(
                 columns=["tile_x", "tile_y", "kind", "labels", "klass",
-                         "area", "perim", "min_gidx",
+                         "area", "perim", "min_gidx", "plane",
                          "strip_labels", "strip_klass", "border"]
             )
         bands, nr, nc = got
@@ -253,15 +258,18 @@ def build_patches(
                     "area": areas.astype(np.int64).tolist(),
                     "perim": perims.astype(np.int64).tolist(),
                     "min_gidx": min_gidx.tolist(),
+                    "plane": None,
                     "strip_labels": None, "strip_klass": None, "border": None,
                 }
             )
-        # label plane
+        # label plane (packed int64 bytes — T² values; the pipeline's
+        # dominant shuffle payload)
         rows.append(
             {
                 "tile_x": tx, "tile_y": ty, "kind": "plane",
-                "labels": glab.ravel().tolist(), "klass": None,
+                "labels": None, "klass": None,
                 "area": [nr, nc], "perim": None, "min_gidx": None,
+                "plane": glab.ravel().astype("<i8").tobytes(),
                 "strip_labels": None, "strip_klass": None, "border": None,
             }
         )
@@ -272,9 +280,13 @@ def build_patches(
                 {
                     "tile_x": tx, "tile_y": ty, "kind": "strip",
                     "labels": None, "klass": None, "area": None, "perim": None,
-                    "min_gidx": None,
-                    "strip_labels": sl_lab.tolist(),
-                    "strip_klass": sl_k.tolist(),
+                    "min_gidx": None, "plane": None,
+                    "strip_labels": np.ascontiguousarray(
+                        sl_lab, dtype="<i8"
+                    ).tobytes(),
+                    "strip_klass": np.ascontiguousarray(
+                        sl_k, dtype="<f8"
+                    ).tobytes(),
                     "border": border,
                 }
             )
@@ -308,10 +320,10 @@ def build_patches(
         other = pdf[~((pdf.tile_x == int(bx)) & (pdf.tile_y == int(by)))]
         if len(own) != 1 or len(other) != 1:
             return pd.DataFrame(columns=["a", "b"])
-        la = np.asarray(own.iloc[0].strip_labels, dtype=np.int64)
-        ka = np.asarray(own.iloc[0].strip_klass, dtype=np.float64)
-        lb = np.asarray(other.iloc[0].strip_labels, dtype=np.int64)
-        kb = np.asarray(other.iloc[0].strip_klass, dtype=np.float64)
+        la = np.frombuffer(own.iloc[0].strip_labels, dtype="<i8")
+        ka = np.frombuffer(own.iloc[0].strip_klass, dtype="<f8")
+        lb = np.frombuffer(other.iloc[0].strip_labels, dtype="<i8")
+        kb = np.frombuffer(other.iloc[0].strip_klass, dtype="<f8")
         m = min(len(la), len(lb))
         la, ka, lb, kb = la[:m], ka[:m], lb[:m], kb[:m]
         ok = (la >= 0) & (lb >= 0) & np.isfinite(ka) & np.isfinite(kb) & (ka == kb)
@@ -374,7 +386,7 @@ def build_patches(
         .agg(F.collect_list(F.struct("label", "canon")).alias("m"))
     )
     planes = stage1_df.filter(F.col("kind") == "plane")
-    joined = planes.select("tile_x", "tile_y", "labels", "area").join(
+    joined = planes.select("tile_x", "tile_y", "plane", "area").join(
         tile_map, ["tile_x", "tile_y"], "left"
     )
 
@@ -383,7 +395,7 @@ def build_patches(
             out = []
             for row in pdf.itertuples(index=False):
                 nr, nc = int(row.area[0]), int(row.area[1])
-                lab = np.asarray(row.labels, dtype=np.int64)
+                lab = np.frombuffer(row.plane, dtype="<i8")
                 data = np.full(len(lab), np.nan)
                 pos_mask = lab >= 0
                 if row.m is not None and len(row.m) and pos_mask.any():

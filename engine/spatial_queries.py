@@ -175,9 +175,11 @@ FROM px p LEFT JOIN cwt c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 1, 2
 
 def sq_pip_polygons(spark: SparkSession, sf: str) -> DataFrame:
     """J1+J2 on the full fixture polygon set (convex quad, concave
-    star, antimeridian-crossing rect) through the generic engine path
-    (cell cover + vectorized ray-cast refine); the oracle replicates
-    the pinned §5.3.6 semantics as edge-table arithmetic."""
+    star, antimeridian-crossing rect, square-with-HOLE) through the
+    generic engine path (cell cover + vectorized ray-cast refine); the
+    oracle replicates the pinned §5.3.6 semantics as edge-table
+    arithmetic — hole edges join the same per-(doc, poly) parity sum,
+    so even-odd hole exclusion falls out of the identical SQL."""
     from engine import fixtures, joins
     from engine.deploy import ensure_shipped
 
@@ -188,7 +190,7 @@ def sq_pip_polygons(spark: SparkSession, sf: str) -> DataFrame:
         shim.shim_lat_col(F.col("doc_id")).alias("lat"),
         shim.shim_lon_col(F.col("doc_id")).alias("lon"),
     )
-    hits = joins.pip_join(pts, fixtures.polygons(), level=6, spark=spark)
+    hits = joins.pip_join(pts, fixtures.polygons_holed(), level=6, spark=spark)
     return hits.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_pts"), F.sum("doc_id").alias("docid_sum")
     )
@@ -203,15 +205,18 @@ def _pip_oracle_sql() -> str:
     from engine import fixtures
 
     rows = []
-    for p in fixtures.polygons():
-        ring = p["ring"]
-        lo_min = min(v["lon"] for v in ring)
-        for k in range(len(ring) - 1):
-            a, b = ring[k], ring[k + 1]
-            rows.append(
-                f"({p['poly_id']}, {lo_min!r}, {a['lat']!r}, {a['lon']!r}, "
-                f"{b['lat']!r}, {b['lon']!r})"
-            )
+    for p in fixtures.polygons_holed():
+        # every ring (outer + holes) contributes edges; each ring
+        # reframes point lons by ITS OWN lon minimum, so the summed
+        # parity is the XOR of per-ring parities (even-odd with holes)
+        for ring in [p["ring"]] + list(p.get("holes") or []):
+            lo_min = min(v["lon"] for v in ring)
+            for k in range(len(ring) - 1):
+                a, b = ring[k], ring[k + 1]
+                rows.append(
+                    f"({p['poly_id']}, {lo_min!r}, {a['lat']!r}, {a['lon']!r}, "
+                    f"{b['lat']!r}, {b['lon']!r})"
+                )
     edges = ",\n    ".join(rows)
     return f"""
 WITH pts AS (
@@ -1007,9 +1012,15 @@ FROM interp WHERE den > 0 GROUP BY 1
 
 # polygon zones in PIXEL coords (closed rings; vertices off the
 # half-integer lattice so no pixel center sits on an edge; no
-# horizontal edges). zone 1 and 2 overlap — lowest id wins.
+# horizontal edges). zone 1 and 2 overlap — lowest id wins. zone 1
+# carries a HOLE (even-odd: centers inside the hole leave zone 1 —
+# and, lying inside zone 2's outer ring, fall to zone 2).
 _ZONE_RINGS = [
-    (1, [(6.3, 4.2), (58.7, 12.4), (30.1, 55.6), (6.3, 4.2)]),
+    (
+        1,
+        [(6.3, 4.2), (58.7, 12.4), (30.1, 55.6), (6.3, 4.2)],
+        [[(24.2, 16.4), (36.6, 17.2), (30.4, 30.6), (24.2, 16.4)]],
+    ),
     (2, [(20.2, 18.3), (52.6, 20.7), (48.4, 48.9), (10.9, 44.2), (20.2, 18.3)]),
 ]
 
@@ -1029,9 +1040,12 @@ def sq_polygon_zonal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _polygon_zonal_sql() -> str:
+    # outer + hole edges share one parity sum per zone — even-odd hole
+    # exclusion needs no extra SQL
     rows = ",\n    ".join(
-        f"({zid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
-        for zid, ring in _ZONE_RINGS
+        f"({entry[0]}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for entry in _ZONE_RINGS
+        for ring in [entry[1]] + (list(entry[2]) if len(entry) > 2 else [])
         for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:])
     )
     return f"""
@@ -1127,20 +1141,30 @@ FROM cells GROUP BY line_id
 
 def sq_polygon_measures(spark: SparkSession, sf: str) -> DataFrame:
     """Vector measures (engine/vector.polygon_measures): spherical
-    shoelace area, haversine perimeter, vertex centroid of the three
-    fixture polygons (incl. the antimeridian-crossing rect, which the
-    Δλ wrap must measure at its true 16° width) — pure JVM
-    higher-order column fns, map-only."""
+    shoelace area, haversine perimeter, vertex centroid of the fixture
+    polygons (incl. the antimeridian-crossing rect, which the Δλ wrap
+    must measure at its true 16° width, and the square-with-HOLE whose
+    hole area subtracts and hole boundary adds to the perimeter) —
+    pure JVM higher-order column fns, map-only."""
     from engine import fixtures, vector
 
     rows = [
-        (p["poly_id"], [(float(v["lat"]), float(v["lon"])) for v in p["ring"]])
-        for p in fixtures.polygons()
+        (
+            p["poly_id"],
+            [(float(v["lat"]), float(v["lon"])) for v in p["ring"]],
+            [
+                [(float(v["lat"]), float(v["lon"])) for v in h]
+                for h in (p.get("holes") or [])
+            ],
+        )
+        for p in fixtures.polygons_holed()
     ]
     polys = spark.createDataFrame(
-        rows, "poly_id int, ring array<struct<lat:double,lon:double>>"
+        rows,
+        "poly_id int, ring array<struct<lat:double,lon:double>>, "
+        "holes array<array<struct<lat:double,lon:double>>>",
     )
-    return vector.polygon_measures(polys)
+    return vector.polygon_measures(polys, holes_col="holes")
 
 
 def _polygon_measures_sql() -> str:
@@ -1148,14 +1172,16 @@ def _polygon_measures_sql() -> str:
 
     R = 6371.0088
     e_rows, v_rows = [], []
-    for p in fixtures.polygons():
-        ring = p["ring"]
-        for a, b in zip(ring[:-1], ring[1:]):
-            e_rows.append(
-                f"({p['poly_id']}, {a['lat']!r}, {a['lon']!r}, "
-                f"{b['lat']!r}, {b['lon']!r})"
-            )
-        for v in ring[:-1]:
+    for p in fixtures.polygons_holed():
+        # ring_id 0 = outer; >0 = holes (area subtracts, perimeter adds;
+        # vertex count / centroid stay outer-ring-only like the engine)
+        for rid, ring in enumerate([p["ring"]] + list(p.get("holes") or [])):
+            for a, b in zip(ring[:-1], ring[1:]):
+                e_rows.append(
+                    f"({p['poly_id']}, {rid}, {a['lat']!r}, {a['lon']!r}, "
+                    f"{b['lat']!r}, {b['lon']!r})"
+                )
+        for v in p["ring"][:-1]:
             v_rows.append(f"({p['poly_id']}, {v['lat']!r}, {v['lon']!r})")
     edges = ",\n    ".join(e_rows)
     verts = ",\n    ".join(v_rows)
@@ -1170,7 +1196,7 @@ def _polygon_measures_sql() -> str:
         "* POW(SIN((RADIANS(lo2) - RADIANS(lo1)) / 2), 2)"
     )
     return f"""
-WITH edges(poly_id, la1, lo1, la2, lo2) AS (
+WITH edges(poly_id, ring_id, la1, lo1, la2, lo2) AS (
   VALUES
     {edges}
 ),
@@ -1178,12 +1204,18 @@ verts(poly_id, lat, lon) AS (
   VALUES
     {verts}
 ),
+per_ring AS (
+  SELECT poly_id, ring_id,
+         ABS(SUM(RADIANS({wrap})
+             * (2.0 + SIN(RADIANS(la1)) + SIN(RADIANS(la2))))) AS a,
+         SUM(2.0 * {R!r} * ASIN(SQRT(LEAST(1.0, GREATEST(0.0, {hav}))))) AS perim
+  FROM edges GROUP BY poly_id, ring_id
+),
 e AS (
   SELECT poly_id,
-         SUM(RADIANS({wrap})
-             * (2.0 + SIN(RADIANS(la1)) + SIN(RADIANS(la2)))) AS tot,
-         SUM(2.0 * {R!r} * ASIN(SQRT(LEAST(1.0, GREATEST(0.0, {hav}))))) AS perim
-  FROM edges GROUP BY poly_id
+         SUM(CASE WHEN ring_id = 0 THEN a ELSE -a END) AS tot,
+         SUM(perim) AS perim
+  FROM per_ring GROUP BY poly_id
 ),
 v AS (
   SELECT poly_id, COUNT(*) AS n_vertices,
@@ -1191,7 +1223,7 @@ v AS (
   FROM verts GROUP BY poly_id
 )
 SELECT v.poly_id, CAST(v.n_vertices AS INT) AS n_vertices,
-       ROUND(ABS(e.tot) * {R * R / 2.0!r}, 2) AS area_km2,
+       ROUND(e.tot * {R * R / 2.0!r}, 2) AS area_km2,
        ROUND(e.perim, 2) AS perim_km,
        ROUND(v.slat / v.n_vertices, 6) AS c_lat,
        ROUND(v.slon / v.n_vertices, 6) AS c_lon

@@ -101,6 +101,65 @@ def _assemble_tile(
     )
 
 
+def _packed_partials(
+    T: int, value_col: str | None, it: Iterator[pd.DataFrame]
+) -> Iterator[pd.DataFrame]:
+    """Per input partition: accumulate every point into per-tile sparse
+    partials and emit ONE packed row per touched tile — (tile key,
+    nonzero pixel indices as int32 bytes, counts / value sums as
+    float64 bytes). The only shuffle downstream carries these packed
+    bytes (≈8–16 B per *distinct* touched pixel per partition), not
+    per-cell rows (~40 B each, two shuffles in the agg strategy)."""
+    acc_cells: dict[tuple[int, int], list[np.ndarray]] = {}
+    acc_vals: dict[tuple[int, int], list[np.ndarray]] = {}
+    for pdf in it:
+        if pdf.empty:
+            continue
+        tx = pdf["tile_x"].to_numpy(dtype=np.int64)
+        ty = pdf["tile_y"].to_numpy(dtype=np.int64)
+        cell = pdf["tj"].to_numpy(dtype=np.int64) * T + pdf["ti"].to_numpy(
+            dtype=np.int64
+        )
+        vals = (
+            pdf[value_col].to_numpy(dtype=np.float64)
+            if value_col is not None
+            else None
+        )
+        tkey = (tx << 32) | ty  # tile ids are < 2^31 (level ≤ 31)
+        order = np.argsort(tkey, kind="stable")
+        tkey, cell = tkey[order], cell[order]
+        if vals is not None:
+            vals = vals[order]
+        uniq, starts = np.unique(tkey, return_index=True)
+        bounds = np.append(starts, len(tkey))
+        for u, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+            k = (int(u >> 32), int(u & 0xFFFFFFFF))
+            acc_cells.setdefault(k, []).append(cell[s:e])
+            if vals is not None:
+                acc_vals.setdefault(k, []).append(vals[s:e])
+    rows = []
+    for k, chunks in acc_cells.items():
+        cells = np.concatenate(chunks)
+        cnt = np.bincount(cells, minlength=T * T)
+        nz = np.flatnonzero(cnt)
+        row = {
+            "tile_x": k[0],
+            "tile_y": k[1],
+            "idx": nz.astype("<i4").tobytes(),
+            "cnt": cnt[nz].astype("<f8").tobytes(),
+            "val": None,
+        }
+        if value_col is not None:
+            vsum = np.bincount(
+                cells, weights=np.concatenate(acc_vals[k]), minlength=T * T
+            )
+            row["val"] = vsum[nz].astype("<f8").tobytes()
+        rows.append(row)
+    yield pd.DataFrame(
+        rows, columns=["tile_x", "tile_y", "idx", "cnt", "val"]
+    )
+
+
 def rasterize(
     points: DataFrame,
     T: int,
@@ -108,15 +167,69 @@ def rasterize(
     stat: str = "count",
     value_col: str | None = None,
     band: str | None = None,
-    strategy: str = "agg",
+    strategy: str = "packed",
     n_salts: int | None = None,
 ) -> DataFrame:
     """points (with tile_x/tile_y/ti/tj from udfs.with_cell_and_tile) →
     dense tile rows. Pixels with no points are NaN (nodata).
 
     stat ∈ {count, sum, mean}; sum/mean need value_col.
+
+    strategy="packed" (default): map-side partial rasterize — one
+    mapInPandas pass accumulates each input partition's points into
+    per-tile sparse partials (packed int32 index + float64 value
+    bytes), then ONE exchange on the tile key merges partials into the
+    dense tile. Replaces the agg strategy's two per-cell-row shuffles
+    with a single packed-binary one (the r2→r3 pipeline-scaling fix:
+    the rasterize exchange was memory-bandwidth-bound).
     """
     band = band or stat
+    if strategy == "packed":
+        if stat in ("sum", "mean") and value_col is None:
+            raise ValueError(f"stat {stat} needs value_col")
+        vc = value_col if stat in ("sum", "mean") else None
+        # explicit projection: mapInPandas is a black box to Catalyst,
+        # so without this the FULL point row (spans and all) crosses
+        # Arrow — measured 6× slower than the pruned scan
+        cols = ["tile_x", "tile_y", "ti", "tj"] + ([vc] if vc else [])
+        partials = points.select(*cols).mapInPandas(
+            partial(_packed_partials, T, vc),
+            "tile_x int, tile_y int, idx binary, cnt binary, val binary",
+        )
+
+        def merge_packed(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cnt = np.zeros(T * T)
+            val = np.zeros(T * T)
+            for row in pdf.itertuples(index=False):
+                idx = np.frombuffer(row.idx, dtype="<i4")
+                cnt[idx] += np.frombuffer(row.cnt, dtype="<f8")
+                if row.val is not None:
+                    val[idx] += np.frombuffer(row.val, dtype="<f8")
+            if stat == "count":
+                out = cnt.copy()
+            elif stat == "sum":
+                out = val.copy()
+            else:  # mean
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = val / cnt
+            out[cnt == 0] = np.nan
+            return pd.DataFrame(
+                [
+                    {
+                        "tile_x": int(key[0]),
+                        "tile_y": int(key[1]),
+                        "level": level,
+                        "band": band,
+                        "nrows": T,
+                        "ncols": T,
+                        "data": out,
+                    }
+                ]
+            )
+
+        return partials.groupBy("tile_x", "tile_y").applyInPandas(
+            merge_packed, TILES_SCHEMA
+        )
     if strategy == "agg":
         agg = {
             "count": F.count(F.lit(1)).cast("double"),
@@ -459,7 +572,14 @@ def apply_focal_bands(
                         "data": res.ravel(),
                     }
                 )
-        return pd.DataFrame(rows)
+        # explicit columns: a tile present but carrying none of the
+        # requested in_bands yields rows=[], and a column-less frame
+        # would KeyError in the Arrow serializer instead of emitting
+        # zero rows
+        return pd.DataFrame(
+            rows,
+            columns=["tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"],
+        )
 
     return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(run, TILES_SCHEMA)
 

@@ -203,12 +203,18 @@ def compact_cells(cells: DataFrame, level: int, min_level: int = 1) -> DataFrame
     (map-side combine; the set shrinks ≥4× per fully-compactable round)
     plus one left_anti join to split kept cells from promoted parents.
     No driver materialization — the loop bound is the level delta
-    (≤29), not the data.
+    (≤29), not the data. Every ``checkpoint_every`` rounds the
+    surviving set AND the accumulated kept-cells union are
+    localCheckpoint'ed so the plan tree stays shallow — a deep
+    level→min_level compaction otherwise chains ~29 rounds of
+    groupBy+anti-join+union lineage, slowing analysis and risking
+    re-optimization stack depth (same discipline as joins.knn_join).
     """
     mask = (1 << 58) - 1
-    parts = []
     cur = cells.select("cell_id").distinct()
-    for L in range(level, min_level, -1):
+    out = None
+    checkpoint_every = 6
+    for i, L in enumerate(range(level, min_level, -1)):
         parent = F.lit((L - 1) << 58) + F.shiftright(
             F.col("cell_id").bitwiseAND(F.lit(mask)), 2
         )
@@ -219,14 +225,18 @@ def compact_cells(cells: DataFrame, level: int, min_level: int = 1) -> DataFrame
             .filter(F.col("count") == 4)
             .select("_parent")
         )
-        keep = with_p.join(full, "_parent", "left_anti").select("cell_id")
-        parts.append(keep.withColumn("level", F.lit(L)))
+        keep = (
+            with_p.join(full, "_parent", "left_anti")
+            .select("cell_id")
+            .withColumn("level", F.lit(L))
+        )
+        out = keep if out is None else out.unionAll(keep)
         cur = full.select(F.col("_parent").alias("cell_id"))
-    parts.append(cur.withColumn("level", F.lit(min_level)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=True)
+    last = cur.withColumn("level", F.lit(min_level))
+    return last if out is None else out.unionAll(last)
 
 
 def uncompact_cells(cells: DataFrame, target_level: int) -> DataFrame:

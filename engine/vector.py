@@ -261,7 +261,7 @@ def rasterize_lines(lines: DataFrame, nx: int, ny: int) -> DataFrame:
     )
 
 
-def polygon_measures(polys: DataFrame) -> DataFrame:
+def polygon_measures(polys: DataFrame, holes_col: str | None = None) -> DataFrame:
     """Vector measures per polygon ring: spherical area, haversine
     perimeter, vertex centroid — all pure JVM higher-order column
     expressions (zero shuffle, zero Python; at 10^9 polygons this is a
@@ -283,10 +283,15 @@ def polygon_measures(polys: DataFrame) -> DataFrame:
       un-normalized lons).
     """
     R = 6371.0088
-    edges = (
-        "zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1), "
-        "(a, b) -> struct(a.lat AS la1, a.lon AS lo1, b.lat AS la2, b.lon AS lo2))"
-    )
+
+    def _edges(ring_expr: str) -> str:
+        return (
+            f"zip_with(slice({ring_expr}, 1, size({ring_expr}) - 1), "
+            f"slice({ring_expr}, 2, size({ring_expr}) - 1), "
+            "(a, b) -> struct(a.lat AS la1, a.lon AS lo1, b.lat AS la2, b.lon AS lo2))"
+        )
+
+    edges = _edges("ring")
     wrap = (
         "CASE WHEN (e.lo2 - e.lo1 + 180.0) % 360.0 < 0 "
         "THEN (e.lo2 - e.lo1 + 180.0) % 360.0 + 360.0 "
@@ -302,19 +307,35 @@ def polygon_measures(polys: DataFrame) -> DataFrame:
     )
     edge_km = f"2.0 * {R} * asin(sqrt(least(1.0d, greatest(0.0d, {hav}))))"
     open_ring = "slice(ring, 1, size(ring) - 1)"
+    outer_area = f"abs(aggregate({edges}, 0.0d, (acc, e) -> acc + {area_term}))"
+    outer_perim = f"aggregate({edges}, 0.0d, (acc, e) -> acc + {edge_km})"
+    if holes_col is not None:
+        # holes: array<array<struct<lat,lon>>> — each hole ring's |area|
+        # subtracts from the outer ring's; hole boundaries ADD to the
+        # perimeter (the polygon's boundary includes its hole edges).
+        # Still pure nested higher-order fns — map-only, zero Python.
+        he = _edges("rg")
+        hole_area = (
+            f"aggregate(coalesce({holes_col}, array()), 0.0d, (hacc, rg) -> "
+            f"hacc + abs(aggregate({he}, 0.0d, (acc, e) -> acc + {area_term})))"
+        )
+        hole_perim = (
+            f"aggregate(coalesce({holes_col}, array()), 0.0d, (hacc, rg) -> "
+            f"hacc + aggregate({he}, 0.0d, (acc, e) -> acc + {edge_km}))"
+        )
+        area_expr = f"({outer_area} - {hole_area})"
+        perim_expr = f"({outer_perim} + {hole_perim})"
+    else:
+        area_expr = outer_area
+        perim_expr = outer_perim
     return polys.select(
         "poly_id",
         F.expr("size(ring) - 1").alias("n_vertices"),
         F.round(
-            F.expr(
-                f"abs(aggregate({edges}, 0.0d, (acc, e) -> acc + {area_term}))"
-            )
-            * (R * R / 2.0),
+            F.expr(area_expr) * (R * R / 2.0),
             2,
         ).alias("area_km2"),
-        F.round(
-            F.expr(f"aggregate({edges}, 0.0d, (acc, e) -> acc + {edge_km})"), 2
-        ).alias("perim_km"),
+        F.round(F.expr(perim_expr), 2).alias("perim_km"),
         F.round(
             F.expr(f"aggregate({open_ring}, 0.0d, (acc, v) -> acc + v.lat)")
             / F.expr("size(ring) - 1"),

@@ -98,9 +98,12 @@ def rasterize_zones(
     the SURVEY A6 "polygon zones = rasterize poly ids then reuse"
     composition (V1 vector→raster feeding zonal_stats).
 
-    ``rings``: [(zone_id, [(x, y), ...closed ring in PIXEL coords])].
+    ``rings``: [(zone_id, outer_ring)] or [(zone_id, outer_ring,
+    [hole_ring, ...])] with rings = [(x, y), ...closed, PIXEL coords].
     Pinned semantics (planar, SQL-replicable): pixel (i, j) belongs to
     a polygon iff its CENTER (i+0.5, j+0.5) has odd crossing parity
+    over ALL the zone's rings (outer + holes — even-odd, so a center
+    inside exactly one hole XORs back to outside)
     (strict upper-endpoint rule: edge counts iff (y1 > py) != (y2 > py)
     and px < x1 + (py−y1)/(y2−y1)·(x2−x1)); overlapping polygons →
     LOWEST zone_id wins; centers in no polygon → NaN (excluded by
@@ -116,7 +119,12 @@ def rasterize_zones(
     from collections.abc import Iterator
 
     sub = tiles.filter(F.col("band") == band)
-    ordered = sorted(rings, key=lambda r: r[0])
+    # normalize to (zid, [outer] + holes)
+    ordered = sorted(
+        ((r[0], [r[1]] + (list(r[2]) if len(r) > 2 and r[2] else []))
+         for r in rings),
+        key=lambda r: r[0],
+    )
 
     def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,14 +137,15 @@ def rasterize_zones(
                 px = np.broadcast_to(cx, (nr, nc))
                 py = np.broadcast_to(cy[:, None], (nr, nc))
                 zone = np.full((nr, nc), np.nan)
-                for zid, ring in reversed(ordered):  # lowest id paints last
+                for zid, zrings in reversed(ordered):  # lowest id paints last
                     inside = np.zeros((nr, nc), dtype=bool)
-                    for k in range(len(ring) - 1):
-                        (x1, y1), (x2, y2) = ring[k], ring[k + 1]
-                        crosses = (y1 > py) != (y2 > py)
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            xcross = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
-                        inside ^= crosses & (px < xcross)
+                    for ring in zrings:
+                        for k in range(len(ring) - 1):
+                            (x1, y1), (x2, y2) = ring[k], ring[k + 1]
+                            crosses = (y1 > py) != (y2 > py)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                xcross = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                            inside ^= crosses & (px < xcross)
                     zone[inside] = zid
                 datas.append(zone.ravel())
             out["band"] = zone_band
@@ -245,44 +254,63 @@ def quantile_exact(
     Returns the element of rank ceil(q·n) (1-based, DuckDB
     quantile_disc semantics) for each q.
 
-    Scale design: each round is one mapInPandas bincount over the
-    values still inside the candidate interval (map-side partials →
-    ≤nbins+1-row merge → driver picks the bin holding the target
-    rank). The interval shrinks ~nbins× per round, so a full f64 range
-    resolves in 2-3 rounds; when ≤``tail`` values remain the exact
-    element comes from one small sorted collect. Driver traffic is
-    O(nbins + tail) per quantile — never the data.
+    Scale design: each round is ONE mapInPandas bincount pass over the
+    data, SHARED by every still-pending quantile (the pass bins values
+    for each distinct candidate interval — Q quantiles cost one scan
+    per round, not Q; the r2→r3 fix for the per-quantile rescan).
+    Map-side partials → ≤(#intervals · nbins)-row merge → driver picks
+    each quantile's holding bin. The interval shrinks ~nbins× per
+    round, so a full f64 range resolves in 2-3 rounds; when ≤``tail``
+    values remain per quantile the exact elements come from one shared
+    small collect. Driver traffic is O(Q·(nbins + tail)) — never the
+    data.
     """
     from collections.abc import Iterator
 
     sub = tiles.filter(F.col("band") == band).select("data")
 
-    def counter(lo: float, hi: float):
-        # bincount of values in [lo, hi); hi=None means unbounded top
+    def counter_multi(
+        ivs: list[tuple[float, float]],
+    ) -> dict[tuple[float, float], np.ndarray]:
+        # one scan: bincount of values in [lo, hi) for EVERY interval
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            w = (hi - lo) / nbins
             for pdf in batches:
                 vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
                 if not vs:
                     continue
                 v = np.concatenate(vs)
                 v = v[np.isfinite(v)]
-                v = v[(v >= lo) & (v < hi)]
                 if len(v) == 0:
                     continue
-                b = np.minimum((np.floor((v - lo) / w)).astype(np.int64), nbins - 1)
-                u, inv = np.unique(b, return_inverse=True)
-                yield pd.DataFrame({"bin": u, "n": np.bincount(inv)})
+                frames = []
+                for i, (lo, hi) in enumerate(ivs):
+                    w = (hi - lo) / nbins
+                    x = v[(v >= lo) & (v < hi)]
+                    if len(x) == 0:
+                        continue
+                    b = np.minimum(
+                        (np.floor((x - lo) / w)).astype(np.int64), nbins - 1
+                    )
+                    u, inv = np.unique(b, return_inverse=True)
+                    frames.append(
+                        pd.DataFrame({"iv": i, "bin": u, "n": np.bincount(inv)})
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
         pdf = (
-            sub.mapInPandas(run, "bin long, n long")
-            .groupBy("bin").agg(F.sum("n").alias("n"))
+            sub.mapInPandas(run, "iv long, bin long, n long")
+            .groupBy("iv", "bin").agg(F.sum("n").alias("n"))
             .toPandas()
         )
-        counts = np.zeros(nbins, dtype=np.int64)
-        if len(pdf):
-            counts[pdf["bin"].to_numpy()] = pdf["n"].to_numpy()
-        return counts
+        out: dict[tuple[float, float], np.ndarray] = {}
+        for i, iv in enumerate(ivs):
+            counts = np.zeros(nbins, dtype=np.int64)
+            rows = pdf[pdf["iv"] == i]
+            if len(rows):
+                counts[rows["bin"].to_numpy()] = rows["n"].to_numpy()
+            out[iv] = counts
+        return out
 
     # global n / bounds — UNROUNDED (global_stats rounds its extrema
     # for oracle-hash stability; a rounded-up min would clip real
@@ -309,38 +337,59 @@ def quantile_exact(
         .collect()[0]
     )
     n = int(g.n)
-    out = []
-    for q in qs:
-        k = max(1, int(math.ceil(q * n)))  # 1-based target rank
-        lo, hi = float(g.mn), float(g.mx) + 1e-9
-        remaining = n
-        while remaining > tail:
-            counts = counter(lo, hi)
+    # per-quantile narrowing state; every round shares ONE scan
+    states = [
+        {
+            "k": max(1, int(math.ceil(q * n))),  # 1-based target rank
+            "lo": float(g.mn),
+            "hi": float(g.mx) + 1e-9,
+            "rem": n,
+        }
+        for q in qs
+    ]
+    while True:
+        pending = [s for s in states if s["rem"] > tail]
+        if not pending:
+            break
+        ivs = sorted({(s["lo"], s["hi"]) for s in pending})
+        counts_by_iv = counter_multi(ivs)
+        for s in pending:
+            counts = counts_by_iv[(s["lo"], s["hi"])]
             cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, k))
-            k -= int(cum[b - 1]) if b > 0 else 0
-            w = (hi - lo) / nbins
-            lo, hi = lo + b * w, lo + (b + 1) * w
-            remaining = int(counts[b])
-            if remaining == 0:  # degenerate (all equal): bin holds it
-                break
+            b = int(np.searchsorted(cum, s["k"]))
+            s["k"] -= int(cum[b - 1]) if b > 0 else 0
+            w = (s["hi"] - s["lo"]) / nbins
+            s["lo"], s["hi"] = s["lo"] + b * w, s["lo"] + (b + 1) * w
+            s["rem"] = int(counts[b])
+            # rem == 0 is the degenerate all-equal bin: fall through to
+            # the tail collect over this (now tiny) interval
 
-        def collect_vals(lo=lo, hi=hi):
-            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
-                    if not vs:
-                        continue
-                    v = np.concatenate(vs)
-                    v = v[np.isfinite(v)]
-                    v = v[(v >= lo) & (v < hi)]
-                    if len(v):
-                        yield pd.DataFrame({"v": v})
+    # shared tail collect: one scan gathers every quantile's remaining
+    # candidate values, keyed by interval
+    ivs = sorted({(s["lo"], s["hi"]) for s in states})
 
-            return np.sort(
-                sub.mapInPandas(run, "v double").toPandas()["v"].to_numpy()
-            )
+    def collect_multi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v) == 0:
+                continue
+            frames = []
+            for i, (lo, hi) in enumerate(ivs):
+                x = v[(v >= lo) & (v < hi)]
+                if len(x):
+                    frames.append(pd.DataFrame({"iv": i, "v": x}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-        vals = collect_vals()
-        out.append(float(vals[k - 1]))
-    return out
+    pdf = sub.mapInPandas(collect_multi, "iv long, v double").toPandas()
+    vals_by_iv = {
+        iv: np.sort(pdf[pdf["iv"] == i]["v"].to_numpy())
+        for i, iv in enumerate(ivs)
+    }
+    return [
+        float(vals_by_iv[(s["lo"], s["hi"])][s["k"] - 1]) for s in states
+    ]

@@ -50,3 +50,26 @@ def test_compact_uncompact_roundtrip(spark):
     )
     assert not back.duplicated().any()  # disjoint cover
     assert set(back) == mortons
+
+
+def test_compact_deep_levels_checkpointed(spark):
+    """level 22 → min_level 1 (21 chained rounds): the periodic
+    localCheckpoint keeps the plan tree analyzable at depth; the
+    round-trip stays lossless. A complete 4^3 block at morton 0
+    telescopes exactly 3 levels; scattered singles survive at 22."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    mortons = set(range(64))  # telescopes 22 → 19
+    mortons.update(int(x) + 4096 for x in rng.integers(0, 1 << 20, 50))
+    comp = udfs.compact_cells(_cells(spark, sorted(mortons), 22), 22, 1)
+    pdf = comp.toPandas()
+    assert 19 in set(pdf.level)
+    assert (pdf.level >= 19).all()  # nothing promotes past the block's top
+    back = (
+        udfs.uncompact_cells(comp, 22)
+        .select((F.col("cell_id") - 22 * P58).alias("m"))
+        .toPandas()["m"]
+    )
+    assert not back.duplicated().any()
+    assert set(back) == mortons

@@ -224,3 +224,77 @@ def test_radius_join_matches_bruteforce(spark):
         got_rows = out[out.q_id == q.q_id]
         assert set(got_rows.doc_id) == want, f"q{q.q_id}"
         assert not got_rows.doc_id.duplicated().any(), f"q{q.q_id}: dup candidates"
+
+
+def test_radius_join_auto_level_bounds_fallback(spark):
+    """level=None auto-picks from (radius, design_abs_lat): with the
+    design latitude covering the query band, the margin check covers
+    every query (zero broadcast stragglers) and results still match
+    brute force at high latitude."""
+    from pyspark.sql import functions as F
+
+    from engine import udfs
+
+    R = 300.0
+    level = joins.choose_level_for_radius(R, design_abs_lat=80.0)
+    docs = fixtures.documents_geo(spark, 1500, seed=5)
+    pts = udfs.geocode_cols(docs).select("doc_id", "lat", "lon")
+    qp = pd.DataFrame(
+        {"q_id": [0, 1, 2], "lat": [78.0, -70.0, 40.0], "lon": [10.0, 100.0, -60.0]}
+    )
+    queries = spark.createDataFrame(qp)
+    # margin >= R for every query at the auto level (bounded fallback)
+    q = queries.withColumn(
+        "_m", joins._ring_margin_col(
+            F.col("lat"), F.col("lon"),
+            int(np.ceil(R / min(
+                (180.0 / grid.grid_shape(level)[1]) * joins.KM_PER_DEG,
+                (360.0 / grid.grid_shape(level)[0]) * joins.KM_PER_DEG
+                * float(np.cos(np.radians(80.0))),
+            ))) + 1,
+            level,
+        )
+    )
+    assert q.filter(F.col("_m") < R).count() == 0
+    out = joins.radius_join(
+        queries, pts, R, level=None, design_abs_lat=80.0
+    ).toPandas()
+    pts_pdf = pts.toPandas()
+    for _, qq in qp.iterrows():
+        d = grid.haversine_km(
+            qq.lat, qq.lon, pts_pdf.lat.to_numpy(), pts_pdf.lon.to_numpy()
+        )
+        want = set(pts_pdf.doc_id[d <= R])
+        assert set(out[out.q_id == qq.q_id].doc_id) == want, f"q{qq.q_id}"
+
+
+@pytest.mark.parametrize("strategy", ["fused", "join"])
+def test_pip_join_holed_polygon(spark, strategy):
+    """P4 (square with hole): points inside the hole are excluded, on
+    the hole boundary included, between rings included — vs a scalar
+    per-ring parity oracle. Probes placed explicitly in each regime."""
+    from engine import geometry
+
+    level = 7
+    polys = [p for p in fixtures.polygons_holed() if p["poly_id"] == 4]
+    probes = pd.DataFrame(
+        {
+            "q_id": range(7),
+            "lat": [30.0, 20.0, 30.0, 24.0, 16.0, 50.0, 44.0],
+            "lon": [78.0, 65.0, 68.0, 78.0, 60.0, 78.0, 94.0],
+            # hole-interior, ring-band, ring-band, on-hole-edge,
+            # on-outer-edge, outside, inside-near-corner
+        }
+    )
+    pts = spark.createDataFrame(probes)
+    out = joins.pip_join(pts, polys, level, spark, strategy=strategy).toPandas()
+    got = set(out.q_id)
+    want = {
+        int(q)
+        for q, la, lo in zip(probes.q_id, probes.lat, probes.lon)
+        if geometry.point_in_rings(
+            np.array([la]), np.array([lo]), geometry.poly_rings(polys[0])
+        )[0]
+    }
+    assert want == {1, 2, 3, 4, 6}  # the regimes behave as documented
+    assert got == want

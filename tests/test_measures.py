@@ -73,3 +73,40 @@ def test_centroid_and_star_bounds(spark):
     inner = np.pi * (3.5 * km_per_deg) ** 2
     outer = np.pi * (8.0 * km_per_deg) ** 2
     assert inner < got.loc[2, "area_km2"] < outer
+
+
+def test_holed_polygon_area_perimeter(spark):
+    """P4 (square with square hole): area = outer rect − hole rect
+    (both exact for aligned rects); perimeter = outer + hole edge sums;
+    n_vertices / centroid stay outer-only."""
+    holed = [p for p in fixtures.polygons_holed() if p["poly_id"] == 4][0]
+    rows = [
+        (
+            4,
+            [(float(v["lat"]), float(v["lon"])) for v in holed["ring"]],
+            [
+                [(float(v["lat"]), float(v["lon"])) for v in h]
+                for h in holed["holes"]
+            ],
+        )
+    ]
+    polys = spark.createDataFrame(
+        rows,
+        "poly_id int, ring array<struct<lat:double,lon:double>>, "
+        "holes array<array<struct<lat:double,lon:double>>>",
+    )
+    got = polygon_measures(polys, holes_col="holes").toPandas().iloc[0]
+    want_area = _rect_area(15.0, 45.0, 35.0) - _rect_area(24.0, 38.0, 16.0)
+    assert abs(got.area_km2 - round(want_area, 2)) < 0.05
+    # perimeter: scalar haversine over outer + hole edges
+    def ring_perim(ring):
+        tot = 0.0
+        for a, b in zip(ring[:-1], ring[1:]):
+            tot += float(
+                grid.haversine_km(a["lat"], a["lon"],
+                                  np.array([b["lat"]]), np.array([b["lon"]]))[0]
+            )
+        return tot
+    want_perim = ring_perim(holed["ring"]) + ring_perim(holed["holes"][0])
+    assert abs(got.perim_km - round(want_perim, 2)) < 0.05
+    assert got.n_vertices == 4

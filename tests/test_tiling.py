@@ -145,7 +145,7 @@ def brute_rasterize_count(pdf, level, T):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["agg", "salted"])
+@pytest.mark.parametrize("strategy", ["agg", "salted", "packed"])
 def test_rasterize_matches_brute(spark, strategy):
     level, T = 8, 16
     docs = fixtures.documents_geo(spark, 2000, seed=42)
@@ -178,13 +178,42 @@ def test_rasterize_strategies_agree_and_spans_survive(spark):
     assert orig == after
     a = tiling.rasterize(pts, T, level, strategy="agg").collect()
     b = tiling.rasterize(pts, T, level, strategy="salted", n_salts=3).collect()
+    c = tiling.rasterize(pts, T, level, strategy="packed").collect()
     ka = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in a}
     kb = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in b}
-    assert set(ka) == set(kb)
+    kc = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in c}
+    assert set(ka) == set(kb) == set(kc)
     for k in ka:
         np.testing.assert_array_equal(
             np.nan_to_num(ka[k], nan=-1), np.nan_to_num(kb[k], nan=-1)
         )
+        np.testing.assert_array_equal(
+            np.nan_to_num(ka[k], nan=-1), np.nan_to_num(kc[k], nan=-1)
+        )
+
+
+def test_rasterize_packed_sum_mean_match_agg(spark):
+    """packed == agg for the value-carrying stats too (sum/mean; the
+    packed partials carry a second float64 plane for value sums)."""
+    level, T = 8, 16
+    docs = fixtures.documents_geo(spark, 1500, seed=3)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    pts = pts.withColumn(
+        "w", (F.abs(F.xxhash64("doc_id")) % 7).cast("double") + 0.5
+    )
+    for stat in ("sum", "mean"):
+        a = tiling.rasterize(pts, T, level, stat=stat, value_col="w",
+                             strategy="agg").collect()
+        b = tiling.rasterize(pts, T, level, stat=stat, value_col="w",
+                             strategy="packed").collect()
+        ka = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in a}
+        kb = {(r.tile_x, r.tile_y): np.asarray(r.data, dtype=np.float64) for r in b}
+        assert set(ka) == set(kb)
+        for k in ka:
+            np.testing.assert_allclose(
+                np.nan_to_num(ka[k], nan=-1), np.nan_to_num(kb[k], nan=-1),
+                rtol=1e-12, atol=1e-12,
+            )
 
 
 def test_flagship_end_to_end(spark):

@@ -166,6 +166,23 @@ def test_quantile_exact_forces_iteration(spark):
         assert g == want, (q, g, want)
 
 
+def test_quantile_exact_batched_equals_per_q(spark):
+    """the shared-scan multi-quantile path returns the identical
+    elements as independent single-quantile calls (the r3 batching must
+    not change any narrowing decision)."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    batched = zonal.quantile_exact(tiles, "z", qs, nbins=16, tail=40)
+    single = [
+        zonal.quantile_exact(tiles, "z", [q], nbins=16, tail=40)[0] for q in qs
+    ]
+    assert batched == single
+
+
 def test_quantile_exact_extremes(spark):
     arr = fixtures.dem_arith(size=32)
     tiles = spark.createDataFrame(
