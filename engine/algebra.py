@@ -132,12 +132,15 @@ def sample_raster(
             return pd.DataFrame(columns=[*cols, "value"])
         r = tiles_pdf.iloc[0]
         arr = np.asarray(r.data, dtype=np.float64)
-        idx = (
-            pts_pdf["tj"].to_numpy(dtype=np.int64) * int(r.ncols)
-            + pts_pdf["ti"].to_numpy(dtype=np.int64)
-        )
+        ti = pts_pdf["ti"].to_numpy(dtype=np.int64)
+        tj = pts_pdf["tj"].to_numpy(dtype=np.int64)
+        # bounds guard for ragged tiles: ti >= ncols would silently
+        # wrap into the next row, tj >= nrows would IndexError in the
+        # executor — out-of-extent points sample NaN instead
+        ok = (ti >= 0) & (ti < int(r.ncols)) & (tj >= 0) & (tj < int(r.nrows))
+        idx = np.where(ok, tj * int(r.ncols) + ti, 0)
         out = pts_pdf[cols].copy()
-        out["value"] = arr[idx]
+        out["value"] = np.where(ok, arr[idx], np.nan)
         return out
 
     out_schema = ", ".join(

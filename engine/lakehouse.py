@@ -93,16 +93,19 @@ class LakeTable:
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Manifest-driven scan: only files listed in the (pinned)
-        snapshot are read; the partition column is recovered from the
-        directory layout."""
+        snapshot are read. The partition column is a real DATA column
+        inside the files (exact values and declared type — never
+        re-inferred from directory names); the canonical `_part`
+        directory column is dropped."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"no snapshot for table {self.dir}")
         dirs = [p["path"] for p in snap["partitions"]]
-        return (
+        df = (
             spark.read.option("basePath", os.path.join(self.data_dir, snap["stage_key"]))
             .parquet(*dirs)
         )
+        return df.drop("_part") if "_part" in df.columns else df
 
     # -- WAL ----------------------------------------------------------------
 
@@ -155,7 +158,15 @@ class LakeTable:
         stage). A WAL entry is trusted iff its files still verify by
         footer count AND its recorded lineage (inputs/params/
         code_version) matches this call — the lineage guard replaces
-        the old fresh-recount cross-check."""
+        the old fresh-recount cross-check.
+
+        Known limit (documented, r3): partitions whose stage output is
+        ZERO rows write no directory, so they get no WAL entry and
+        their (empty) lineage re-executes on every resume — recording
+        them would need a distinct() over `df`, i.e. a second compute
+        of the stage, which this protocol exists to avoid. The rerun
+        is idempotent and produces no data, so only the recompute cost
+        is at stake."""
         lin = {
             "inputs": (lineage or {}).get("inputs", []),
             "params": (lineage or {}).get("params", {}),
@@ -175,25 +186,29 @@ class LakeTable:
             w = df.filter(
                 ~F.col(partition_col).cast("string").isin(sorted(done))
             )
-        w.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-        # the written layout IS the pending-partition discovery
-        pending = sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(tmp)
-            if d.startswith(f"{partition_col}=")
-            and os.path.isdir(os.path.join(tmp, d))
+        # canonicalize the partition value ONCE, df-side (cast-to-string
+        # of the declared column), and partition the write by that
+        # canonical `_part` column. The original partition_col stays a
+        # DATA column inside the files, so the read-back checksum uses
+        # the exact df values — no directory type re-inference ('01'
+        # would round-trip to int 1) can ever skew WAL keys/checksums
+        # (r3 ADVICE fix).
+        w = w.withColumn("_part", F.col(partition_col).cast("string"))
+        w.write.mode("overwrite").partitionBy("_part").parquet(tmp)
+        # the written layout IS the pending-partition discovery; dir
+        # values are path-escaped (percent-encoding) — unescape back to
+        # the canonical string
+        from urllib.parse import unquote
+
+        pending_dirs = sorted(
+            d for d in os.listdir(tmp)
+            if d.startswith("_part=") and os.path.isdir(os.path.join(tmp, d))
         )
+        pending = [unquote(d.split("=", 1)[1]) for d in pending_dirs]
         if pending:
             back = spark.read.option("basePath", tmp).parquet(
-                *[os.path.join(tmp, f"{partition_col}={p}") for p in pending]
-            )
-            # restore the partition column's declared type (directory
-            # values are re-inferred) and the original column order so
-            # the checksum matches one computed over `df` directly
-            back = back.withColumn(
-                partition_col,
-                F.col(partition_col).cast(df.schema[partition_col].dataType),
-            )
+                *[os.path.join(tmp, d) for d in pending_dirs]
+            ).select(*df.columns)
             stats_rows = (
                 back.groupBy(F.col(partition_col).cast("string").alias("_part"))
                 .agg(
@@ -210,9 +225,9 @@ class LakeTable:
                 r["_part"]: {"row_count": r["row_count"], "checksum": str(r["checksum"])}
                 for r in stats_rows
             }
-            for part in pending:
-                src = os.path.join(tmp, f"{partition_col}={part}")
-                dst = os.path.join(stage_data, f"{partition_col}={part}")
+            for dname, part in zip(pending_dirs, pending):
+                src = os.path.join(tmp, dname)
+                dst = os.path.join(stage_data, dname)
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 os.replace(src, dst)
@@ -230,8 +245,14 @@ class LakeTable:
                     "lineage": lin,
                     "committed_at": time.time(),
                 }
+                # WAL filename uses the path-escaped form (filesystem-
+                # safe); matching keys use entry["part"] (canonical)
                 _atomic_write_json(
-                    os.path.join(self._wal_dir(stage_key), f"{part}.json"), entry
+                    os.path.join(
+                        self._wal_dir(stage_key),
+                        f"{dname.split('=', 1)[1]}.json",
+                    ),
+                    entry,
                 )
                 done[part] = entry
         shutil.rmtree(tmp, ignore_errors=True)
@@ -247,28 +268,52 @@ class LakeTable:
                 for p in sorted(done)
             ).encode()
         ).hexdigest()[:16]
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "stage_key": stage_key,
-            "partition_col": partition_col,
-            "content_hash": content,
-            "partitions": [done[p] for p in sorted(done)],
-            "total_rows": sum(e["row_count"] for e in done.values()),
-            "skipped_partitions": skipped,
-            "computed_partitions": len(pending),
-            "created_at": time.time(),
-        }
-        _atomic_write_json(
-            os.path.join(self.manifest_dir, f"snapshot-{sid}.json"), snap
-        )
-        _atomic_write_json_pointer = os.path.join(self.manifest_dir, "LATEST")
-        tmp = f"{_atomic_write_json_pointer}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _atomic_write_json_pointer)
+        # snapshot-id CAS: the snapshot file is created with
+        # O_CREAT|O_EXCL, so two concurrent write_stage calls can never
+        # both commit the same id — the loser observes the collision,
+        # re-reads the winner's id as its parent, and retries with the
+        # next id. Data/WAL are per-partition idempotent, so the only
+        # contended resource is the id itself.
+        while True:
+            snap = {
+                "snapshot_id": sid,
+                "parent_id": parent,
+                "stage_key": stage_key,
+                "partition_col": partition_col,
+                "content_hash": content,
+                "partitions": [done[p] for p in sorted(done)],
+                "total_rows": sum(e["row_count"] for e in done.values()),
+                "skipped_partitions": skipped,
+                "computed_partitions": len(pending),
+                "created_at": time.time(),
+            }
+            path = os.path.join(self.manifest_dir, f"snapshot-{sid}.json")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                parent = sid  # the competing writer's commit
+                sid += 1
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            break
+        # advance LATEST monotonically (never move it backwards under a
+        # concurrent higher-id commit)
+        ptr = os.path.join(self.manifest_dir, "LATEST")
+        for _ in range(5):
+            cur = self.latest_snapshot_id()
+            if cur is not None and cur >= sid:
+                break
+            tmp = f"{ptr}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, ptr)
+            if (self.latest_snapshot_id() or 0) >= sid:
+                break
         return snap
 
     def verify_snapshot(self, snapshot_id: int | None = None) -> dict:

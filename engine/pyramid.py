@@ -8,8 +8,11 @@ its (T/2) x (T/2) parent quadrant; stage B (applyInPandas after a
 groupBy on the parent key) assembles <=4 quadrants into the parent
 tile. Data volume quarters per level, so a full pyramid costs ~4/3 of
 one pass over the base raster regardless of depth. Parent tiles exist
-iff any child tile exists (absent quadrants fill NaN) — present-tile
-sparsity is preserved all the way up.
+iff any child tile exists; parents are sized to the ACTUAL covered
+extent (ragged edge tiles — odd sizes included — reduce to ragged
+parents; trailing absent quadrants trim, absent quadrants inside the
+extent fill NaN) — present-tile sparsity is preserved all the way up
+and no cells are invented beyond the raster's true extent.
 
 Pinned semantics (SQL-replicable; the oracle reduces the same grid
 with GROUP BY gi//2, gj//2):
@@ -44,8 +47,15 @@ _QUAD_SCHEMA = (
 
 
 def block_reduce(a: np.ndarray, agg: str) -> np.ndarray:
-    """(H, W) -> (H/2, W/2) NaN-aware 2x2 reduction (H, W even)."""
+    """(H, W) -> (ceil(H/2), ceil(W/2)) NaN-aware 2x2 reduction. Odd
+    dimensions (ragged edge tiles) are padded with one NaN row/col —
+    the edge parent cell then aggregates its 1-2 real children (the
+    same no-valid-child -> NaN rule as interior cells)."""
     H, W = a.shape
+    if H % 2 or W % 2:
+        pa = np.full((H + H % 2, W + W % 2), np.nan)
+        pa[:H, :W] = a
+        a = pa
     q = np.stack(
         [a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]]
     )  # (4, H/2, W/2)
@@ -110,7 +120,13 @@ def build_overview(
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ptx, pty, band = int(key[0]), int(key[1]), str(key[2])
         h = T // 2
-        out = np.full((T, T), np.nan)
+        # parent sized to the ACTUAL covered extent (ragged edge tiles
+        # produce ragged parents — no NaN cells invented beyond the
+        # raster's true extent); quadrants absent within the extent
+        # still fill NaN
+        nr = max(int(r.qy) * h + int(r.nrows) for r in pdf.itertuples(index=False))
+        nc = max(int(r.qx) * h + int(r.ncols) for r in pdf.itertuples(index=False))
+        out = np.full((nr, nc), np.nan)
         for r in pdf.itertuples(index=False):
             blk = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
             out[r.qy * h : r.qy * h + r.nrows, r.qx * h : r.qx * h + r.ncols] = blk
@@ -119,7 +135,7 @@ def build_overview(
                 {
                     "tile_x": ptx, "tile_y": pty,
                     "level": int(pdf.iloc[0].level), "band": band,
-                    "nrows": T, "ncols": T, "data": out.ravel(),
+                    "nrows": nr, "ncols": nc, "data": out.ravel(),
                 }
             ]
         )

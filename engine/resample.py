@@ -164,9 +164,23 @@ def sample_bilinear(
             return empty
         got = tiling.assemble_padded(tiles_pdf, T, 1)
         if got is None:
-            return empty
-        bands, nr, nc = got
-        (_, padded), = bands.items()
+            # anchor tile ABSENT in a sparse raster: the halo exchange
+            # still addressed the present neighbors' 1-pixel strips
+            # here, so points whose corners reach into a present
+            # neighbor get the documented valid-corner renormalization
+            # instead of silently dropping (r3 ADVICE fix); the absent
+            # center region stays NaN.
+            padded = np.full((T + 2, T + 2), np.nan)
+            for row in tiles_pdf.itertuples(index=False):
+                block = np.asarray(row.data, dtype=np.float64).reshape(
+                    row.nrows, row.ncols
+                )
+                padded[
+                    row.oy : row.oy + row.nrows, row.ox : row.ox + row.ncols
+                ] = block
+        else:
+            bands, nr, nc = got
+            (_, padded), = bands.items()
         tx, ty = int(key[0]), int(key[1])
         px = pts_pdf["gx"].to_numpy(dtype=np.float64) - 0.5 - tx * T
         py = pts_pdf["gy"].to_numpy(dtype=np.float64) - 0.5 - ty * T

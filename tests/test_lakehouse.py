@@ -71,7 +71,7 @@ def test_crash_recovery_partial_wal(spark, docs, tmp_path):
     # wipe partitions 1, 3, 5 (WAL + data), and LATEST (pre-commit crash)
     for p in (1, 3, 5):
         os.remove(f"{tmp_path}/documents/_manifests/wal/ingest/{p}.json")
-        shutil.rmtree(f"{tmp_path}/documents/data/ingest/part_id={p}")
+        shutil.rmtree(f"{tmp_path}/documents/data/ingest/_part={p}")
     os.remove(f"{tmp_path}/documents/_manifests/LATEST")
     os.remove(f"{tmp_path}/documents/_manifests/snapshot-1.json")
     snap2 = tbl.write_stage(spark, docs, "part_id", "ingest")
@@ -86,7 +86,7 @@ def test_corrupted_partition_recomputed(spark, docs, tmp_path):
     not trusted — partition recomputed."""
     tbl = LakeTable(str(tmp_path), "documents")
     tbl.write_stage(spark, docs, "part_id", "ingest")
-    part_dir = f"{tmp_path}/documents/data/ingest/part_id=2"
+    part_dir = f"{tmp_path}/documents/data/ingest/_part=2"
     f = glob.glob(f"{part_dir}/*.parquet")[0]
     with open(f, "wb") as fh:
         fh.write(b"corrupt")
@@ -150,3 +150,51 @@ def test_pipeline_stats_match_direct(spark, docs, tmp_path):
         np.testing.assert_array_equal(
             np.nan_to_num(a[k], nan=-9), np.nan_to_num(b[k], nan=-9)
         )
+
+
+def test_snapshot_id_cas_two_writers(spark, docs, tmp_path):
+    """S4 hardening: a competing writer's snapshot file under the same
+    id makes this writer's O_EXCL create fail — it retries cleanly with
+    the next id (competitor becomes the parent) and never clobbers the
+    existing snapshot; LATEST never moves backwards."""
+    import json
+
+    tbl = LakeTable(str(tmp_path), "documents")
+    tbl.write_stage(spark, docs, "part_id", "ingest")
+    # simulate writer B committing snapshots 2 and 3 between our read
+    # of LATEST (still 1) and our commit: pre-create the id files —
+    # our O_EXCL create must collide twice and land on 4
+    for sid in (2, 3):
+        with open(f"{tmp_path}/documents/_manifests/snapshot-{sid}.json", "w") as f:
+            json.dump({"snapshot_id": sid, "partitions": [],
+                       "stage_key": "other", "total_rows": 0}, f)
+    docs2 = docs.withColumn("part_id", (F.col("part_id") + 1) % 8)
+    snap = tbl.write_stage(spark, docs2, "part_id", "ingest-v2")
+    assert snap["snapshot_id"] == 4
+    assert snap["parent_id"] == 3  # the last competing commit
+    # writer B's snapshots intact
+    with open(f"{tmp_path}/documents/_manifests/snapshot-2.json") as f:
+        assert json.load(f)["stage_key"] == "other"
+    assert tbl.latest_snapshot_id() == snap["snapshot_id"]
+
+
+def test_partition_value_canonicalization(spark, tmp_path):
+    """String partition values that would not survive a directory
+    round-trip ('01' re-inferred as int 1) keep their exact canonical
+    form in WAL keys AND in the read-back data (the partition column
+    is a data column now, never re-inferred); resume skips all."""
+    pdf = spark.createDataFrame(
+        [("01", 1.0), ("01", 2.0), ("1", 3.0), ("a b", 4.0)],
+        "pkey string, v double",
+    )
+    tbl = LakeTable(str(tmp_path), "t")
+    s1 = tbl.write_stage(spark, pdf, "pkey", "ingest")
+    assert s1["computed_partitions"] == 3
+    got = {(r.pkey, r.v) for r in tbl.read(spark).collect()}
+    assert got == {("01", 1.0), ("01", 2.0), ("1", 3.0), ("a b", 4.0)}
+    assert {e["part"] for e in s1["partitions"]} == {"01", "1", "a b"}
+    # identical rerun: every partition skips (WAL keys matched)
+    s2 = tbl.write_stage(spark, pdf, "pkey", "ingest")
+    assert s2["computed_partitions"] == 0
+    assert s2["skipped_partitions"] == 3
+    assert s2["content_hash"] == s1["content_hash"]

@@ -65,15 +65,44 @@ def test_pyramid_mode_classes(spark):
 
 
 def test_sparse_parent_quadrants(spark):
-    """Only one child tile present -> parent tile exists with the other
-    three quadrants NaN."""
+    """Only one child tile present -> parent tile exists, sized to the
+    covered extent (trailing absent quadrants trim; leading absent
+    quadrants inside the extent fill NaN)."""
     arr = fixtures.dem_arith(size=32)
     rows = fixtures.tiles_rows_from_array(arr, 16, level=10, band="z")
     rows = rows[(rows.tile_x == 1) & (rows.tile_y == 0)]  # NE child only
     tiles = spark.createDataFrame(rows, fixtures.TILES_SCHEMA_DDL)
     out = pyramid.build_overview(tiles, 16, level=10, agg="mean").toPandas()
     assert len(out) == 1 and out.iloc[0].tile_x == 0 and out.iloc[0].tile_y == 0
-    got = np.asarray(out.iloc[0].data).reshape(16, 16)
-    assert np.isnan(got[:, :8]).all() and np.isnan(got[8:, :]).all()
+    r = out.iloc[0]
+    assert (r.nrows, r.ncols) == (8, 16)  # rows trim (no qy=1 child)
+    got = np.asarray(r.data).reshape(8, 16)
+    assert np.isnan(got[:, :8]).all()  # NW quadrant inside extent: NaN
     want = pyramid.block_reduce(arr[0:16, 16:32], "mean")
-    np.testing.assert_allclose(got[0:8, 8:16], want, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(got[:, 8:16], want, rtol=1e-12, equal_nan=True)
+
+
+def test_pyramid_ragged_odd_edge_tiles(spark):
+    """51x45 raster, T=16 → edge tiles 3 and 13 wide (odd ragged): the
+    overview must neither crash (odd-dim block_reduce) nor invent NaN
+    cells beyond the true extent — the assembled level-down raster
+    equals the whole-array NumPy reduction, extent exactly ceil/2."""
+    rng = np.random.default_rng(11)
+    arr = rng.uniform(0, 10, (45, 51))
+    arr[rng.random((45, 51)) < 0.05] = np.nan
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, level=10, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = pyramid.build_overview(tiles, 16, level=10, agg="mean").toPandas()
+    want = pyramid.block_reduce(arr, "mean")  # (23, 26)
+    # stitch ragged parents by offsets (parent tiles are still T=16)
+    H = max(int(r.tile_y) * 16 + int(r.nrows) for r in out.itertuples())
+    W = max(int(r.tile_x) * 16 + int(r.ncols) for r in out.itertuples())
+    assert (H, W) == want.shape
+    got = np.full((H, W), np.nan)
+    for r in out.itertuples(index=False):
+        blk = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        got[r.tile_y * 16 : r.tile_y * 16 + r.nrows,
+            r.tile_x * 16 : r.tile_x * 16 + r.ncols] = blk
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)

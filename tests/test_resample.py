@@ -118,3 +118,42 @@ def test_sample_bilinear_matches_bruteforce(spark):
             assert k not in got.index, k
         else:
             np.testing.assert_allclose(got[k], want, atol=1e-12, err_msg=str(k))
+
+
+def test_sample_bilinear_absent_anchor_tile(spark):
+    """Sparse raster with tile (1,0) removed: a point anchored in the
+    absent tile whose corners reach the present tile (0,0) still gets
+    the valid-corner renormalized value (halo strips serve the rim);
+    a point deep inside the absent tile yields no row."""
+    import pandas as pd
+
+    arr = fixtures.dem_arith(size=32)
+    rows = fixtures.tiles_rows_from_array(arr, 16, band="z")
+    rows = rows[~((rows.tile_x == 1) & (rows.tile_y == 0))]  # drop (1,0)
+    tiles = spark.createDataFrame(rows, fixtures.TILES_SCHEMA_DDL)
+    # gx=16.2 -> i0=15 (anchor tile 0) ... pick gx where anchor IS the
+    # absent tile: i0 = floor(gx-0.5) in [16, 31] -> gx in (16.5, 32.5);
+    # gx=16.6 -> corners i=16,17 both in absent tile BUT i0=16 anchor
+    # absent; corner i=16 absent, i=17 absent -> no row... use gx where
+    # i0=16 but fractional corner back into col 16? corners are i0 and
+    # i0+1 (16, 17) - both absent. The reachable case: gy crossing a
+    # present tile below: anchor = (1,0) absent, corners j=15 (absent
+    # row? tile (1,0) spans rows 0-15)... use point near tile (1,1)
+    # which IS present: gy=16.4 -> j0=15 in tile row 0 -> anchor (1,0).
+    masked = arr.copy().astype(float)
+    masked[0:16, 16:32] = np.nan  # absent tile reads as NaN
+    pts = pd.DataFrame(
+        {
+            "pt_id": [0, 1],
+            "gx": [20.3, 24.0],
+            "gy": [16.4, 8.0],  # 0: corners straddle rows 15/16; 1: deep inside absent
+        }
+    )
+    got = (
+        resample.sample_bilinear(spark.createDataFrame(pts), tiles, 16, "z")
+        .toPandas().set_index("pt_id")["value"]
+    )
+    want0 = _brute_bilinear_at(masked, 20.3, 16.4)
+    assert not np.isnan(want0)
+    np.testing.assert_allclose(got[0], want0, atol=1e-12)
+    assert 1 not in got.index
