@@ -159,3 +159,46 @@ def test_incremental_tile_counts_stateful(spark, stream_src):
         exp = dict(zip(g.tj.to_numpy() * T + g.ti.to_numpy(), g["count"].to_numpy()))
         got_map = dict(zip(r.idx, r.cnt))
         assert got_map == {int(k): int(v) for k, v in exp.items()}, (r.tile_x, r.tile_y)
+
+
+def test_incremental_focal_equals_batch(spark, stream_src, tmp_path):
+    """T7: the foreachBatch halo-aware incremental focal — after
+    draining the stream file-by-file (multiple micro-batches, each
+    touching only dirty neighborhoods), the persisted focal raster
+    equals the one-shot batch rasterize→apply_focal over all files."""
+    from engine import tiling
+
+    r, shape = 3, "circle"
+    wrap_nx = (2**LEVEL) // T
+    cells = streaming.stream_cells(
+        streaming.read_documents_stream(spark, stream_src, max_files_per_trigger=1),
+        LEVEL, T,
+    )
+    start, state_path, out_path = streaming.incremental_focal(
+        cells, T, LEVEL, r, shape, ["mean", "count"], str(tmp_path / "ivm"),
+        wrap_nx=wrap_nx,
+    )
+    q = start()
+    q.awaitTermination()
+
+    batch_pts = udfs.with_cell_and_tile(
+        udfs.geocode_cols(spark.read.parquet(stream_src)), LEVEL, T
+    )
+    batch_tiles = tiling.rasterize(batch_pts, T, LEVEL, stat="count")
+    want_df = tiling.apply_focal(
+        batch_tiles, r, shape, ["mean", "count"], T, level=LEVEL, wrap_nx=wrap_nx
+    )
+    want = {
+        (r_.tile_x, r_.tile_y, r_.band): np.asarray(r_.data, dtype=np.float64)
+        for r_ in want_df.collect()
+    }
+    got = {
+        (r_.tile_x, r_.tile_y, r_.band): np.asarray(r_.data, dtype=np.float64)
+        for r_ in spark.read.parquet(out_path).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.nan_to_num(got[k], nan=-9), np.nan_to_num(want[k], nan=-9),
+            rtol=1e-12, atol=1e-12, err_msg=str(k),
+        )

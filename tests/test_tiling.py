@@ -229,3 +229,22 @@ def test_flagship_end_to_end(spark):
     assert len(res) > 0
     total_pts = sum(np.nansum(np.asarray(r.data, dtype=np.float64)) for r in tiles.collect())
     assert total_pts == 5000
+
+
+def test_rasterize_packed_plan_one_exchange(spark):
+    """The packed strategy's physical plan: exactly ONE exchange (the
+    tile-key merge of packed partials) — the map-side partial pass is
+    shuffle-free — and the pre-UDF projection keeps every non-essential
+    column (spans!) out of the Arrow crossing."""
+    level, T = 8, 16
+    docs = fixtures.documents_geo(spark, 200, seed=2)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    df = tiling.rasterize(pts, T, level, strategy="packed")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the mapInPandas input carries only the coordinate cols (no spans)
+    import re
+
+    m = re.search(r"MapInPandas.*?\[([^\]]*)\]", plan)
+    assert m is not None
+    assert "spans" not in m.group(0)
