@@ -336,18 +336,26 @@ Criterion over the two BASELINE.json metrics (tiles/sec, join rows/sec):
 
 The pipeline leg is a five-stage end-to-end composite (string-parse
 scan → geocode → encode → rasterize → focal) we added beyond the
-BASELINE metrics. Stage-split diagnosis (pinned, fresh sessions,
-2026-08-17): the composite is dominated by the rasterize shuffle
-(47.9 s at 2 cores → 14.8 s at 8, 0.81 efficiency in isolation —
-shuffle write+read of the per-cell combine is memory-BANDWIDTH-bound,
-and the single-box proxy shares one bus across levels where real
-executors each bring their own), plus a 328-output-tile focal tail
-whose wall time rises with parallelism (2.2 s at 2 cores, 3.7 s at 8:
-4x shuffle partitions over a fixed 328-group tail = more Arrow batch
-boundaries and scheduling than work). Neither term is a plan defect —
-the shuffle is one combine-enabled exchange and the tail has more
-cores than groups; both shrink on a real cluster (per-executor
-bandwidth, bigger tile counts).
+BASELINE metrics. Round-3 diagnosis (pinned interleaved pairs, fresh
+JVM per run, 2026-08-18): the leg has a hard per-BOX throughput
+ceiling of ~1.05M docs/s that is INDEPENDENT of core count — 2 pinned
+cores already reach ~0.60M docs/s at the 32M-doc scale, so 4×2c
+(2.4M/s) exceeds what the box can serve and the 2→8-core ratio cannot
+reach 0.8 no matter the plan. The ceiling is DRAM traffic + JVM
+allocation rate (span-string parse in the geocode stage), a shared
+single-box resource; on a real cluster each executor brings its own
+memory bus, which is exactly what this proxy cannot reproduce. What
+WAS fixable we fixed and kept (round 3): the rasterize partials now
+cross Arrow as ONE packed int64 column and ship int32 counts (−33%
+shuffle bytes; 8M-doc pair efficiency 0.50 → 0.62, absolute
+throughput +10%). Geometry sweeps (level 12/T=64 vs level 14/T=256 =
+16× more focal compute per byte) confirm the ceiling: the
+compute-dense variant scales better at small inputs (0.69 vs 0.62 at
+8M docs) but saturates the same ~1.05M docs/s ceiling at 32M
+(pairwise 0.26–0.44), while level 12's higher cell-collapse keeps
+absolute docs/s highest — so the leg keeps the level-12 geometry.
+Neither binding metric shares this profile: focal and PIP are
+compute-dense per byte and meet ≥0.8 on the same protocol.
 
 Best-of is reported alongside the median because the host VM exhibits
 intermittent multi-second noise windows (per-run spreads are recorded

@@ -106,20 +106,28 @@ def _packed_partials(
 ) -> Iterator[pd.DataFrame]:
     """Per input partition: accumulate every point into per-tile sparse
     partials and emit ONE packed row per touched tile — (tile key,
-    nonzero pixel indices as int32 bytes, counts / value sums as
-    float64 bytes). The only shuffle downstream carries these packed
-    bytes (≈8–16 B per *distinct* touched pixel per partition), not
-    per-cell rows (~40 B each, two shuffles in the agg strategy)."""
+    nonzero pixel indices as int32 bytes, counts as int32 bytes / value
+    sums as float64 bytes). The only shuffle downstream carries these
+    packed bytes (≈8–16 B per *distinct* touched pixel per partition),
+    not per-cell rows (~40 B each, two shuffles in the agg strategy).
+
+    The input crosses Arrow as ONE int64 column ``_pk`` = (gi<<32)|gj
+    (global pixel coords, JVM-computed) — half the bytes of the four
+    separate tile/pixel int columns, and counts ship as int32 not
+    float64 (another −33% on the count-stat shuffle): both measured on
+    the level-14 pipeline leg where the partials exchange is
+    memory-bandwidth-bound."""
     acc_cells: dict[tuple[int, int], list[np.ndarray]] = {}
     acc_vals: dict[tuple[int, int], list[np.ndarray]] = {}
     for pdf in it:
         if pdf.empty:
             continue
-        tx = pdf["tile_x"].to_numpy(dtype=np.int64)
-        ty = pdf["tile_y"].to_numpy(dtype=np.int64)
-        cell = pdf["tj"].to_numpy(dtype=np.int64) * T + pdf["ti"].to_numpy(
-            dtype=np.int64
-        )
+        pk = pdf["_pk"].to_numpy(dtype=np.int64)
+        gi = pk >> 32
+        gj = pk & 0xFFFFFFFF
+        tx = gi // T
+        ty = gj // T
+        cell = (gj % T) * T + (gi % T)
         vals = (
             pdf[value_col].to_numpy(dtype=np.float64)
             if value_col is not None
@@ -146,7 +154,7 @@ def _packed_partials(
             "tile_x": k[0],
             "tile_y": k[1],
             "idx": nz.astype("<i4").tobytes(),
-            "cnt": cnt[nz].astype("<f8").tobytes(),
+            "cnt": cnt[nz].astype("<i4").tobytes(),
             "val": None,
         }
         if value_col is not None:
@@ -190,8 +198,13 @@ def rasterize(
         vc = value_col if stat in ("sum", "mean") else None
         # explicit projection: mapInPandas is a black box to Catalyst,
         # so without this the FULL point row (spans and all) crosses
-        # Arrow — measured 6× slower than the pruned scan
-        cols = ["tile_x", "tile_y", "ti", "tj"] + ([vc] if vc else [])
+        # Arrow — measured 6× slower than the pruned scan. The four
+        # tile/pixel ints are JVM-packed into ONE int64 (global pixel
+        # coords) so the crossing carries 8 B/row, not 16.
+        gi = (F.col("tile_x").cast("long") * T + F.col("ti")).cast("long")
+        gj = (F.col("tile_y").cast("long") * T + F.col("tj")).cast("long")
+        pk = (F.shiftleft(gi, 32) + gj).alias("_pk")
+        cols = [pk] + ([F.col(vc)] if vc else [])
         partials = points.select(*cols).mapInPandas(
             partial(_packed_partials, T, vc),
             "tile_x int, tile_y int, idx binary, cnt binary, val binary",
@@ -202,7 +215,7 @@ def rasterize(
             val = np.zeros(T * T)
             for row in pdf.itertuples(index=False):
                 idx = np.frombuffer(row.idx, dtype="<i4")
-                cnt[idx] += np.frombuffer(row.cnt, dtype="<f8")
+                cnt[idx] += np.frombuffer(row.cnt, dtype="<i4")
                 if row.val is not None:
                     val[idx] += np.frombuffer(row.val, dtype="<f8")
             if stat == "count":
