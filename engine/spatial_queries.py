@@ -46,6 +46,27 @@ def _tile_summary(out: DataFrame) -> DataFrame:
     )
 
 
+def _tile_summary_quantized(out: DataFrame) -> DataFrame:
+    """_tile_summary with ORDER-FREE summation: each valid cell rounds
+    to integer micro-units (×1e6) and the tile sum is exact int64
+    addition — immune to sum-order ulp noise landing ON a 4-decimal
+    rounding boundary (bit-identical per-cell values are guaranteed by
+    the pinned fold orders; TPI on the quadratic DEM is exactly
+    −0.00375/cell, putting every odd-count tile sum exactly on a
+    boundary). Oracle mirror: SUM(CAST(ROUND(v*1e6) AS BIGINT))/1e6."""
+    valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+    micro = F.transform(valid, lambda x: F.round(x * 1e6).cast("long"))
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "band",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.round(
+            F.aggregate(micro, F.lit(0).cast("long"), lambda a, x: a + x) / 1e6, 4
+        ).alias("tile_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared oracle CTEs: documents → shim lat/lon → level-9 pixel counts,
 # exactly mirroring udfs.latlon_to_ij_cols + tiling.rasterize(count).
@@ -521,7 +542,7 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     out = tiling.apply_focal(
         tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
     )
-    return _tile_summary(out)
+    return _tile_summary_quantized(out)
 
 
 # regenerates fixtures.dem_arith exactly (quadratic saddle, 3% hash
@@ -549,7 +570,19 @@ grad AS MATERIALIZED (
   SELECT c.i, c.j,
          SUM(o.wx * d.z) / 8.0 AS gx,
          SUM(o.wy * d.z) / 8.0 AS gy,
-         COUNT(d.z) AS nn
+         COUNT(d.z) AS nn,
+         -- the nine window cells individually (y-down: n = dy -1), for
+         -- the round-3 bands — combined with LEFT-ASSOCIATIVE sums
+         -- below to match NumPy's fold order bit-for-bit
+         SUM(CASE WHEN o.dx =  0 AND o.dy =  0 THEN d.z END) AS z,
+         SUM(CASE WHEN o.dx = -1 AND o.dy = -1 THEN d.z END) AS nwz,
+         SUM(CASE WHEN o.dx =  0 AND o.dy = -1 THEN d.z END) AS nz,
+         SUM(CASE WHEN o.dx =  1 AND o.dy = -1 THEN d.z END) AS nez,
+         SUM(CASE WHEN o.dx = -1 AND o.dy =  0 THEN d.z END) AS wz,
+         SUM(CASE WHEN o.dx =  1 AND o.dy =  0 THEN d.z END) AS ez,
+         SUM(CASE WHEN o.dx = -1 AND o.dy =  1 THEN d.z END) AS swz,
+         SUM(CASE WHEN o.dx =  0 AND o.dy =  1 THEN d.z END) AS sz,
+         SUM(CASE WHEN o.dx =  1 AND o.dy =  1 THEN d.z END) AS sez
   FROM dem c
   JOIN offs o ON TRUE
   LEFT JOIN dem d ON d.i = c.i + o.dx AND d.j = c.j + o.dy
@@ -565,20 +598,49 @@ vals AS MATERIALIZED (
            (0.7071067811865476
             + 0.7071067811865476
               * (0.7071067811865476 * gy - (-0.7071067811865476) * gx))
-           / SQRT(1.0 + gx * gx + gy * gy)) AS hillshade
+           / SQRT(1.0 + gx * gx + gy * gy)) AS hillshade,
+         -- TPI: c − mean8, neighbor sum folded [nw,n,ne,w,e,sw,s,se]
+         z - (((((((nwz + nz) + nez) + wz) + ez) + swz) + sz) + sez) / 8.0
+           AS tpi,
+         -- TRI (Riley): sqrt of left-folded Σ (nb − c)², same order
+         SQRT((((((((nwz-z)*(nwz-z) + (nz-z)*(nz-z)) + (nez-z)*(nez-z))
+               + (wz-z)*(wz-z)) + (ez-z)*(ez-z)) + (swz-z)*(swz-z))
+               + (sz-z)*(sz-z)) + (sez-z)*(sez-z)) AS tri,
+         GREATEST(z, nwz, nz, nez, wz, ez, swz, sz, sez)
+           - LEAST(z, nwz, nz, nez, wz, ez, swz, sz, sez) AS rough,
+         -- general curvature (Zevenbergen–Thorne / ESRI): −2(D+E)·100,
+         -- D = ((w+e)/2 − z)/L², E = ((n+s)/2 − z)/L², L = 1
+         -2.0 * (((wz + ez) / 2.0 - z) + ((nz + sz) / 2.0 - z)) * 100.0
+           AS curv
   FROM grad WHERE nn = 9
 ),
 tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'slope' AS band,
-       COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(v.slope), 0.0), 4) AS tile_sum
+       COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(CAST(ROUND(v.slope * 1000000) AS BIGINT)), 0) / 1000000.0, 4) AS tile_sum
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'aspect',
-       COUNT(v.aspect), ROUND(COALESCE(SUM(v.aspect), 0.0), 4)
+       COUNT(v.aspect), ROUND(COALESCE(SUM(CAST(ROUND(v.aspect * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'hillshade',
-       COUNT(v.hillshade), ROUND(COALESCE(SUM(v.hillshade), 0.0), 4)
+       COUNT(v.hillshade), ROUND(COALESCE(SUM(CAST(ROUND(v.hillshade * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'tpi',
+       COUNT(v.tpi), ROUND(COALESCE(SUM(CAST(ROUND(v.tpi * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'tri',
+       COUNT(v.tri), ROUND(COALESCE(SUM(CAST(ROUND(v.tri * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'roughness',
+       COUNT(v.rough), ROUND(COALESCE(SUM(CAST(ROUND(v.rough * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'curvature',
+       COUNT(v.curv), ROUND(COALESCE(SUM(CAST(ROUND(v.curv * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
@@ -678,13 +740,16 @@ FROM px7 p LEFT JOIN lvl7 c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 2, 3
 
 
 def sq_reclass_algebra(spark: SparkSession, sf: str) -> DataFrame:
-    """Local map algebra (engine/algebra.py): reclassify the class
-    raster {0:10, 1:20, 2:20, 3:30} then the normalized difference
-    (dem - rc)/(dem + rc) against the DEM band — two local ops fused in
-    tile space; per-tile summary."""
+    """Local map algebra (engine/algebra.py) + bounded Euclidean
+    distance transform (engine/distance.py): reclassify the class
+    raster {0:10, 1:20, 2:20, 3:30}, the normalized difference
+    (dem - rc)/(dem + rc) against the DEM band, and dist0 = exact
+    distance (cap 6 cells) to the nearest class-0 cell; per-tile
+    summary of all bands."""
+    import numpy as np
     import pandas as pd
 
-    from engine import algebra, fixtures
+    from engine import algebra, distance, fixtures
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
@@ -709,7 +774,11 @@ def sq_reclass_algebra(spark: SparkSession, sf: str) -> DataFrame:
         return (got["z"] - got["rc"]) / (got["z"] + got["rc"])
 
     out = algebra.local_map(tiles.union(rc), 16, "nd", nd, ["z", "rc"])
-    return _tile_summary(out)
+    d0 = distance.distance_transform(
+        tiles.filter(F.col("band") == "class"), 16, 6,
+        lambda a: np.nan_to_num(a, nan=-1.0) == 0.0, out_band="dist0",
+    )
+    return _tile_summary(out.unionByName(d0))
 
 
 SQ_RECLASS_SQL = f"""
@@ -724,10 +793,27 @@ nd AS (
         FROM cells) rc ON rc.i = c.i AND rc.j = c.j
   JOIN dem d ON d.i = c.i AND d.j = c.j
 ),
-tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty)),
+-- bounded EDT mirror (engine/distance.py): features = VALID class-0
+-- cells; output over ALL grid cells (nodata cells get distances too);
+-- sqrt(min d2) == the engine's min-over-sqrt (monotone)
+feat AS (SELECT i, j FROM cells WHERE klass = 0),
+dist0 AS (
+  SELECT g.i // 16 AS tx, g.j // 16 AS ty,
+         SQRT(CAST(MIN((g.i - f.i) * (g.i - f.i)
+                       + (g.j - f.j) * (g.j - f.j)) AS DOUBLE)) AS v
+  FROM grid0 g JOIN feat f
+    ON ABS(g.i - f.i) <= 6 AND ABS(g.j - f.j) <= 6
+   AND (g.i - f.i) * (g.i - f.i) + (g.j - f.j) * (g.j - f.j) <= 36
+  GROUP BY g.i, g.j
+)
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'nd' AS band,
        COUNT(n.v) AS n_valid, ROUND(COALESCE(SUM(n.v), 0.0), 4) AS tile_sum
 FROM tiles0 t LEFT JOIN nd n ON n.tx = t.tx AND n.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'dist0' AS band,
+       COUNT(d.v) AS n_valid, ROUND(COALESCE(SUM(d.v), 0.0), 4) AS tile_sum
+FROM tiles0 t LEFT JOIN dist0 d ON d.tx = t.tx AND d.ty = t.ty GROUP BY 1, 2
 """
 
 

@@ -39,8 +39,12 @@ import numpy as np
 
 __all__ = [
     "focal_aspect",
+    "focal_curvature",
     "focal_hillshade",
+    "focal_roughness",
     "focal_slope",
+    "focal_tpi",
+    "focal_tri",
     "horn_gradients",
     "TERRAIN_KERNELS",
 ]
@@ -127,11 +131,101 @@ def focal_hillshade(
     return out
 
 
+def _ring3(arr: np.ndarray):
+    """(center, 8 neighbors, all-nine-valid mask) over the 3x3 stencil,
+    NaN-padded to input shape at the boundary ring."""
+    a = np.asarray(arr, dtype=np.float64)
+    H, W = a.shape
+    if H < 3 or W < 3:
+        nanp = np.full((H, W), np.nan)
+        return nanp, [], np.zeros((H, W), dtype=bool)
+    c = a[1:-1, 1:-1]
+    nbrs = [
+        a[:-2, :-2], a[:-2, 1:-1], a[:-2, 2:],
+        a[1:-1, :-2], a[1:-1, 2:],
+        a[2:, :-2], a[2:, 1:-1], a[2:, 2:],
+    ]
+    valid = np.isfinite(c)
+    for nb in nbrs:
+        valid = valid & np.isfinite(nb)
+    return c, nbrs, valid
+
+
+def _pad_core(core: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    out = np.full(shape, np.nan)
+    out[1:-1, 1:-1] = core
+    return out
+
+
+def focal_tpi(
+    arr: np.ndarray, r: int = 1, shape: str = "square", cellsize: float = 1.0
+) -> np.ndarray:
+    """Topographic Position Index: center − mean(8 neighbors); valid
+    iff all nine window cells are valid (same rule as Horn)."""
+    _require_r1(r)
+    c, nbrs, valid = _ring3(arr)
+    if not len(nbrs):
+        return np.full(np.asarray(arr).shape, np.nan)
+    mean8 = sum(nbrs) / 8.0
+    return _pad_core(np.where(valid, c - mean8, np.nan), np.asarray(arr).shape)
+
+
+def focal_tri(
+    arr: np.ndarray, r: int = 1, shape: str = "square", cellsize: float = 1.0
+) -> np.ndarray:
+    """Terrain Ruggedness Index (Riley 1999): sqrt of the sum of squared
+    center-vs-neighbor differences over the 8 neighbors."""
+    _require_r1(r)
+    c, nbrs, valid = _ring3(arr)
+    if not len(nbrs):
+        return np.full(np.asarray(arr).shape, np.nan)
+    ss = sum((nb - c) ** 2 for nb in nbrs)
+    return _pad_core(np.where(valid, np.sqrt(ss), np.nan), np.asarray(arr).shape)
+
+
+def focal_roughness(
+    arr: np.ndarray, r: int = 1, shape: str = "square", cellsize: float = 1.0
+) -> np.ndarray:
+    """Roughness: max − min over the full 3x3 window."""
+    _require_r1(r)
+    c, nbrs, valid = _ring3(arr)
+    if not len(nbrs):
+        return np.full(np.asarray(arr).shape, np.nan)
+    mx = np.maximum.reduce([c] + nbrs)
+    mn = np.minimum.reduce([c] + nbrs)
+    return _pad_core(np.where(valid, mx - mn, np.nan), np.asarray(arr).shape)
+
+
+def focal_curvature(
+    arr: np.ndarray, r: int = 1, shape: str = "square", cellsize: float = 1.0
+) -> np.ndarray:
+    """General curvature (Zevenbergen & Thorne 1987, ESRI sign/scale):
+    −2(D + E)·100 with D = ((w + e)/2 − z)/L², E = ((n + s)/2 − z)/L²
+    on the y-down grid; valid iff all nine window cells are valid.
+    PINNED formula — the oracle mirrors it literally."""
+    _require_r1(r)
+    a = np.asarray(arr, dtype=np.float64)
+    c, nbrs, valid = _ring3(a)
+    if not len(nbrs):
+        return np.full(a.shape, np.nan)
+    _, n, _, w, e, _, s, _ = nbrs
+    L2 = cellsize * cellsize
+    D = ((w + e) / 2.0 - c) / L2
+    E = ((n + s) / 2.0 - c) / L2
+    return _pad_core(
+        np.where(valid, -2.0 * (D + E) * 100.0, np.nan), a.shape
+    )
+
+
 # registry fragment for tiling.apply_focal(stats={...}) band dicts
 TERRAIN_KERNELS = {
     "slope": focal_slope,
     "aspect": focal_aspect,
     "hillshade": focal_hillshade,
+    "tpi": focal_tpi,
+    "tri": focal_tri,
+    "roughness": focal_roughness,
+    "curvature": focal_curvature,
 }
 
 

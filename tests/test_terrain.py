@@ -75,3 +75,76 @@ def test_terrain_tiled_pipeline(spark):
         got = fixtures.array_from_tiles_rows(pdf[pdf.band == band], 16)
         want = fn(arr)
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def _brute_round3(arr: np.ndarray, cellsize: float = 1.0):
+    """Explicit per-cell TPI / TRI / roughness / curvature (pinned
+    round-3 semantics: all-nine-valid rule, ZT/ESRI curvature)."""
+    H, W = arr.shape
+    tpi = np.full((H, W), np.nan)
+    tri = np.full((H, W), np.nan)
+    rough = np.full((H, W), np.nan)
+    curv = np.full((H, W), np.nan)
+    L2 = cellsize * cellsize
+    for j in range(1, H - 1):
+        for i in range(1, W - 1):
+            win = arr[j - 1 : j + 2, i - 1 : i + 2]
+            if not np.all(np.isfinite(win)):
+                continue
+            nw, n, ne = win[0]
+            w, c, e = win[1]
+            sw, s, se = win[2]
+            nbrs = [nw, n, ne, w, e, sw, s, se]
+            tpi[j, i] = c - sum(nbrs) / 8.0
+            tri[j, i] = math.sqrt(sum((nb - c) ** 2 for nb in nbrs))
+            rough[j, i] = max(nbrs + [c]) - min(nbrs + [c])
+            D = ((w + e) / 2.0 - c) / L2
+            E = ((n + s) / 2.0 - c) / L2
+            curv[j, i] = -2.0 * (D + E) * 100.0
+    return tpi, tri, rough, curv
+
+
+def test_terrain_round3_golden_bruteforce():
+    arr = fixtures.dem_arith(size=32)
+    want = _brute_round3(arr)
+    got = (
+        terrain.focal_tpi(arr),
+        terrain.focal_tri(arr),
+        terrain.focal_roughness(arr),
+        terrain.focal_curvature(arr),
+    )
+    for g, w, name in zip(got, want, ("tpi", "tri", "roughness", "curvature")):
+        np.testing.assert_allclose(
+            g, w, rtol=1e-12, atol=1e-12, equal_nan=True, err_msg=name
+        )
+
+
+def test_terrain_round3_tiled_pipeline(spark):
+    """Tiled (halo) computation of the round-3 bands == whole-array
+    kernels, interior AND cross-tile cells."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    kerns = {
+        k: terrain.TERRAIN_KERNELS[k]
+        for k in ("tpi", "tri", "roughness", "curvature")
+    }
+    out = tiling.apply_focal(tiles, 1, "square", kerns, 16, level=0)
+    whole = {
+        "tpi": terrain.focal_tpi(arr),
+        "tri": terrain.focal_tri(arr),
+        "roughness": terrain.focal_roughness(arr),
+        "curvature": terrain.focal_curvature(arr),
+    }
+    for r in out.collect():
+        got = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        want = whole[r.band][
+            r.tile_y * 16 : r.tile_y * 16 + r.nrows,
+            r.tile_x * 16 : r.tile_x * 16 + r.ncols,
+        ]
+        np.testing.assert_allclose(
+            got, want, rtol=1e-12, atol=1e-12, equal_nan=True,
+            err_msg=f"{r.band} tile ({r.tile_x},{r.tile_y})",
+        )
