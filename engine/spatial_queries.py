@@ -1393,24 +1393,78 @@ FROM dem
 
 
 def sq_zonal(spark: SparkSession, sf: str) -> DataFrame:
-    """A6 consolidated (one driver row, both zone sources exercised):
-    cell-raster zones ('cell' rows) unioned with polygon-rasterized
-    zones ('poly' rows) — former sq_zonal_stats / sq_polygon_zonal
-    entries; identical zonal_stats partial+final pass under both."""
+    """A6 consolidated (one driver row, every zonal source exercised):
+    cell-raster zones ('cell' rows) ∪ polygon-rasterized zones ('poly'
+    rows) ∪ the round-3 cross-tabulation / tabulate-area ('xtab' rows,
+    zone = class_a·1000 + class_b pair code) — identical partial+final
+    tile pass under all three (engine/zonal.py)."""
     a = sq_zonal_stats(spark, sf).select(
         F.lit("cell").alias("zone_kind"), "*"
     )
     b = sq_polygon_zonal(spark, sf).select(
         F.lit("poly").alias("zone_kind"), "*"
     )
-    return a.unionAll(b)
+    c = _zonal_cross_tab(spark, sf)
+    return a.unionAll(b).unionAll(c)
+
+
+def _zonal_cross_tab(spark: SparkSession, sf: str) -> DataFrame:
+    """cross_tab (tabulate-area) leg of sq_zonal: arith class raster ×
+    FLOOR(dem/4) class bands; pair code packs into the zone column."""
+    import numpy as np
+    import pandas as pd
+
+    from engine import algebra, fixtures, zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(
+                    fixtures.raster_arith(size=64), 16, band="zone"
+                ),
+                fixtures.tiles_rows_from_array(
+                    fixtures.dem_arith(size=64), 16, band="z"
+                ),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    zb = algebra.local_map(
+        tiles, 16, "zb", lambda got: np.floor(got["z"] / 4.0), ["z"]
+    )
+    xt = zonal.cross_tab(tiles.unionByName(zb), 16, "zone", "zb")
+    return xt.select(
+        F.lit("xtab").alias("zone_kind"),
+        (F.col("ca") * 1000 + F.col("cb")).cast("long").alias("zone"),
+        F.col("n_cells"),
+        F.lit(0.0).alias("z_sum"),
+        F.lit(0.0).alias("z_mean"),
+        F.lit(0.0).alias("z_min"),
+        F.lit(0.0).alias("z_max"),
+    )
+
+
+_XTAB_SQL_BODY = """
+SELECT 'xtab' AS zone_kind,
+       CAST(c.klass * 1000 + CAST(FLOOR(d.z / 4.0) AS BIGINT) AS BIGINT) AS zone,
+       COUNT(*) AS n_cells,
+       0.0 AS z_sum, 0.0 AS z_mean, 0.0 AS z_min, 0.0 AS z_max
+FROM cells c JOIN dem d ON d.i = c.i AND d.j = c.j
+GROUP BY 2
+"""
 
 
 def _zonal_merged_sql() -> str:
+    xtab = f"WITH {_RASTER_ARITH_SQL},\n{_DEM_SQL}\n{_XTAB_SQL_BODY}"
     return f"""
 SELECT 'cell' AS zone_kind, * FROM ({SQ_ZONAL_SQL})
 UNION ALL
 SELECT 'poly' AS zone_kind, * FROM ({_polygon_zonal_sql()})
+UNION ALL
+SELECT * FROM ({xtab})
 """
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cross_tab",
     "global_stats",
     "quantile_exact",
     "raster_histogram",
@@ -85,6 +86,45 @@ def zonal_stats(
             F.round(F.max("mx"), 4).alias("z_max"),
         )
     )
+
+
+def cross_tab(
+    tiles: DataFrame,
+    T: int,
+    band_a: str,
+    band_b: str,
+) -> DataFrame:
+    """Tabulate-area / combine (round 3): cell-count cross-tabulation of
+    two co-registered class bands — one row per (class_a, class_b) pair.
+
+    Same partial+final shape as zonal_stats: per-tile pair-code
+    bincount in NumPy (one applyInPandas pass, the rasters never leave
+    their tiles), then a per-pair final sum — shuffle rows ∝ distinct
+    pairs per tile, not T². A cell contributes iff BOTH bands are valid.
+    """
+    both = tiles.filter(F.col("band").isin([band_a, band_b]))
+
+    def partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_band = {r.band: r for r in pdf.itertuples(index=False)}
+        ar = by_band.get(band_a)
+        br = by_band.get(band_b)
+        if ar is None or br is None:
+            return pd.DataFrame(columns=["ca", "cb", "n"])
+        a = np.asarray(ar.data, dtype=np.float64)
+        b = np.asarray(br.data, dtype=np.float64)
+        m = min(len(a), len(b))
+        a, b = a[:m], b[:m]
+        ok = np.isfinite(a) & np.isfinite(b)
+        if not ok.any():
+            return pd.DataFrame(columns=["ca", "cb", "n"])
+        pairs = np.stack([a[ok].astype(np.int64), b[ok].astype(np.int64)], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame({"ca": uniq[:, 0], "cb": uniq[:, 1], "n": cnt})
+
+    part = both.groupBy("tile_x", "tile_y").applyInPandas(
+        partials, "ca long, cb long, n long"
+    )
+    return part.groupBy("ca", "cb").agg(F.sum("n").alias("n_cells"))
 
 
 def rasterize_zones(

@@ -193,3 +193,32 @@ def test_quantile_exact_extremes(spark):
     got = zonal.quantile_exact(tiles, "z", [0.0, 1.0], nbins=8, tail=30)
     assert got[0] == v[0]   # rank max(1, ceil(0)) = 1
     assert got[1] == v[-1]  # rank ceil(n) = n
+
+
+def test_cross_tab_golden(spark):
+    """Tabulate-area: distributed pair counts == whole-array NumPy
+    cross-tab, both-valid rule."""
+    import pandas as pd
+
+    a = fixtures.raster_arith(size=64)
+    z = fixtures.dem_arith(size=64)
+    zb = np.floor(z / 4.0)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(a, 16, band="ca"),
+                fixtures.tiles_rows_from_array(zb, 16, band="cb"),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = {
+        (r.ca, r.cb): r.n_cells
+        for r in zonal.cross_tab(tiles, 16, "ca", "cb").collect()
+    }
+    ok = np.isfinite(a) & np.isfinite(zb)
+    want: dict = {}
+    for ca, cb in zip(a[ok].astype(np.int64), zb[ok].astype(np.int64)):
+        want[(ca, cb)] = want.get((ca, cb), 0) + 1
+    assert got == want and sum(got.values()) == int(ok.sum())
