@@ -525,12 +525,15 @@ FROM media GROUP BY kind
 
 
 def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
-    """Slope / aspect / hillshade (Horn 3x3, engine/terrain.py) over
-    the arithmetic DEM fixture, through the standard ONE-halo-exchange
-    focal pipeline; per-tile summary. Pinned semantics in the terrain
-    module docstring; the oracle regenerates the DEM and differentiates
-    it with a 9-offset neighbor join."""
-    from engine import fixtures, terrain, tiling
+    """Terrain surface in one driver row: slope / aspect / hillshade
+    (Horn 3x3), the round-3 TPI / TRI / roughness / curvature bands,
+    PLUS hydrology — D8 flow direction and the distributed inter-tile
+    flow ACCUMULATION fixpoint (engine/flow.py) — over the arithmetic
+    DEM fixture; per-tile quantized summary. Pinned semantics in the
+    terrain/flow module docstrings; the oracle regenerates the DEM,
+    differentiates it with a 9-offset neighbor join, and replays the
+    flow paths with a recursive CTE."""
+    from engine import fixtures, flow, terrain, tiling
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
@@ -542,7 +545,11 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     out = tiling.apply_focal(
         tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
     )
-    return _tile_summary_quantized(out)
+    dir_tiles = flow.flow_direction(tiles, 16, level=10)
+    acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark, level=10)
+    return _tile_summary_quantized(
+        out.unionByName(dir_tiles).unionByName(acc_tiles)
+    )
 
 
 # regenerates fixtures.dem_arith exactly (quadratic saddle, 3% hash
@@ -560,7 +567,7 @@ dem AS MATERIALIZED (
 """
 
 SQ_TERRAIN_SQL = f"""
-WITH {_DEM_SQL},
+WITH RECURSIVE {_DEM_SQL},
 offs(dx, dy, wx, wy) AS (VALUES
   (-1, -1, -1.0, -1.0), (0, -1, 0.0, -2.0), (1, -1, 1.0, -1.0),
   (-1,  0, -2.0,  0.0), (0,  0, 0.0,  0.0), (1,  0, 2.0,  0.0),
@@ -614,7 +621,45 @@ vals AS MATERIALIZED (
            AS curv
   FROM grad WHERE nn = 9
 ),
-tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty)),
+-- D8 hydrology mirror (engine/flow.py): pinned ESRI codes, y-down,
+-- pinned sqrt2 literal; tie rule = max drop then LOWEST code
+d8off(code, dj, di, dist) AS (VALUES
+  (1, 0, 1, 1.0), (2, 1, 1, 1.4142135623730951), (4, 1, 0, 1.0),
+  (8, 1, -1, 1.4142135623730951), (16, 0, -1, 1.0),
+  (32, -1, -1, 1.4142135623730951), (64, -1, 0, 1.0),
+  (128, -1, 1, 1.4142135623730951)
+),
+fdir AS MATERIALIZED (
+  SELECT c.i, c.j, COALESCE(r.code, 0) AS code
+  FROM dem c LEFT JOIN (
+    SELECT i, j, code FROM (
+      SELECT c2.i AS i, c2.j AS j, o.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY c2.i, c2.j
+               ORDER BY (c2.z - n.z) / o.dist DESC, o.code ASC
+             ) AS rn
+      FROM dem c2 JOIN d8off o ON TRUE
+      JOIN dem n ON n.i = c2.i + o.di AND n.j = c2.j + o.dj
+      WHERE (c2.z - n.z) / o.dist > 0
+    ) WHERE rn = 1
+  ) r ON r.i = c.i AND r.j = c.j
+),
+recv AS MATERIALIZED (
+  SELECT f.i, f.j, f.i + o.di AS ri, f.j + o.dj AS rj
+  FROM fdir f JOIN d8off o ON o.code = f.code
+  WHERE f.code > 0
+),
+walk(si, sj, ci, cj) AS (
+  SELECT i, j, i, j FROM fdir
+  UNION ALL
+  SELECT w.si, w.sj, r.ri, r.rj
+  FROM walk w JOIN recv r ON r.i = w.ci AND r.j = w.cj
+),
+facc AS MATERIALIZED (
+  SELECT ci AS i, cj AS j, CAST(COUNT(*) AS DOUBLE) AS acc
+  FROM walk GROUP BY 1, 2
+)
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'slope' AS band,
        COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(CAST(ROUND(v.slope * 1000000) AS BIGINT)), 0) / 1000000.0, 4) AS tile_sum
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
@@ -642,6 +687,18 @@ UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'curvature',
        COUNT(v.curv), ROUND(COALESCE(SUM(CAST(ROUND(v.curv * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowdir',
+       COUNT(f.code),
+       ROUND(COALESCE(SUM(CAST(ROUND(CAST(f.code AS DOUBLE) * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN fdir f ON f.i // 16 = t.tx AND f.j // 16 = t.ty
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowacc',
+       COUNT(a.acc),
+       ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN facc a ON a.i // 16 = t.tx AND a.j // 16 = t.ty
+GROUP BY 1, 2
 """
 
 
