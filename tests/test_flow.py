@@ -104,3 +104,83 @@ def test_flow_accumulation_single_ramp(spark):
     got = _acc_from_tiles(acc, 8, 8, 8)
     want = brute_acc(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def test_flow_accumulation_long_chain(spark):
+    """A 128-wide ramp tiled at T=16: one flow line crosses 8 tiles, so
+    the fixpoint needs ~8 contribution rounds — exercises multi-round
+    convergence and the monotone-stop rule."""
+    arr = np.tile(np.arange(128, 0, -1, dtype=np.float64), (16, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got = _acc_from_tiles(
+        flow.flow_accumulation(dir_tiles, 16, spark), 16, 16, 128
+    )
+    want = brute_acc(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    assert want.max() == 128  # the full row drains through the last cell
+
+
+def brute_d8_wrap(arr: np.ndarray) -> np.ndarray:
+    """D8 with modular x (horizontal wrap)."""
+    H, W = arr.shape
+    out = np.full((H, W), np.nan)
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(arr[j, i]):
+                continue
+            best, code = 0.0, 0
+            for c, dj, di, dist in flow.D8_OFFSETS:
+                nj, ni = j + dj, (i + di) % W
+                if not (0 <= nj < H) or not np.isfinite(arr[nj, ni]):
+                    continue
+                drop = (arr[j, i] - arr[nj, ni]) / dist
+                if drop > 0 and drop > best:
+                    best, code = drop, c
+            out[j, i] = code
+    return out
+
+
+def brute_acc_wrap(dirs: np.ndarray) -> np.ndarray:
+    H, W = dirs.shape
+    off = {c: (dj, di) for c, dj, di, _ in flow.D8_OFFSETS}
+    acc = np.where(np.isfinite(dirs), 0.0, np.nan)
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(dirs[j, i]):
+                continue
+            cj, ci = j, i
+            while True:
+                acc[cj, ci] += 1
+                c = int(dirs[cj, ci])
+                if c == 0:
+                    break
+                dj, di = off[c]
+                cj, ci = cj + dj, (ci + di) % W
+                if not (0 <= cj < H):
+                    break
+    return acc
+
+
+def test_flow_accumulation_wrap(spark):
+    """wrap_nx: the LEFT column of the ramp sees the low right column
+    across the seam and drains WEST through it — flow crosses the wrap
+    boundary and the accumulation must match the wrap-aware brute."""
+    arr = np.tile(np.arange(32, 0, -1, dtype=np.float64), (8, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 8, wrap_nx=4)
+    acc = flow.flow_accumulation(dir_tiles, 8, spark, wrap_nx=4)
+    got = _acc_from_tiles(acc, 8, 8, 32)
+    dirs_w = brute_d8_wrap(arr)
+    want = brute_acc_wrap(dirs_w)
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    # the wrap actually mattered: column 0 drains W across the seam
+    assert int(dirs_w[0, 0]) == 16
+    # and differs from the unwrapped world
+    assert not np.allclose(want, brute_acc(flow.flow_direction_kernel(arr)))
