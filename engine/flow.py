@@ -140,25 +140,28 @@ def _solve_tile(
     for cell in np.flatnonzero(out_mask):
         dj, di = _CODE2OFF[int(d[cell])]
         tj, ti = jj[cell] + dj, ii[cell] + di
-        # destination cell in the neighbor tile's local coordinates;
-        # ragged tiles never EMIT outside the raster (their dirs came
-        # from a NaN halo), so T-modular wrapping of the index is safe
+        # destination coordinates in the NEIGHBOR tile's local frame.
+        # A border crossing lands on the first/last row/col of the
+        # neighbor, i.e. local index 0 or (neighbor dim − 1) — the
+        # neighbor's dims are unknown here (ragged tiles!), so row/col
+        # are packed as (tj<<16)|ti with 0xFFFF meaning "last": the
+        # receiver resolves it against ITS OWN nrows/ncols.
         dty, dtx = 0, 0
         if tj < 0:
-            dty, tj = -1, tj + nr
+            dty, tj = -1, 0xFFFF
         elif tj >= nr:
-            dty, tj = 1, tj - nr
+            dty, tj = 1, tj - nr  # always 0 for a 1-step D8 move
         if ti < 0:
-            dtx, ti = -1, ti + nc
+            dtx, ti = -1, 0xFFFF
         elif ti >= nc:
             dtx, ti = 1, ti - nc
-        emits.append((dtx, dty, int(tj * nc + ti), float(acc[cell])))
+        emits.append((dtx, dty, int((tj << 16) | ti), float(acc[cell])))
     return acc, emits
 
 
 _ACC_ROUND_SCHEMA = (
     "tile_x int, tile_y int, kind string, nrows int, ncols int, "
-    "data array<double>, dst_tx int, dst_ty int, cell int, flow double"
+    "data array<double>, dst_tx int, dst_ty int, cell long, flow double"
 )
 
 
@@ -178,7 +181,7 @@ def flow_accumulation(
     ).localCheckpoint(eager=True)
 
     empty_inflow = spark.createDataFrame(
-        [], "tile_x int, tile_y int, cell int, flow double"
+        [], "tile_x int, tile_y int, cell long, flow double"
     )
 
     def solve_round(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -191,9 +194,16 @@ def flow_accumulation(
         inflow = np.zeros(nr * nc)
         infl = pdf[pdf.kind == "in"]
         if len(infl):
+            # decode (tj<<16)|ti against THIS tile's dims (0xFFFF = last
+            # row/col — the emitter cannot know a ragged neighbor's size)
+            packed = infl.cell.to_numpy(dtype=np.int64)
+            tj = packed >> 16
+            ti = packed & 0xFFFF
+            tj = np.where(tj == 0xFFFF, nr - 1, tj)
+            ti = np.where(ti == 0xFFFF, nc - 1, ti)
             np.add.at(
                 inflow,
-                infl.cell.to_numpy(dtype=np.int64),
+                tj * nc + ti,
                 infl.flow.to_numpy(dtype=np.float64),
             )
         acc, emits = _solve_tile(d, inflow.reshape(nr, nc))
@@ -225,7 +235,7 @@ def flow_accumulation(
             "nrows", "ncols", "data",
             F.lit(None).cast("int").alias("dst_tx"),
             F.lit(None).cast("int").alias("dst_ty"),
-            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("long").alias("cell"),
             F.lit(None).cast("double").alias("flow"),
         )
         in_rows = inflows.select(

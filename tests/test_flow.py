@@ -184,3 +184,20 @@ def test_flow_accumulation_wrap(spark):
     assert int(dirs_w[0, 0]) == 16
     # and differs from the unwrapped world
     assert not np.allclose(want, brute_acc(flow.flow_direction_kernel(arr)))
+
+
+def test_flow_accumulation_ragged_tiles(spark):
+    """Ragged edge tiles (40×20 raster at T=16 → 8-wide and 4-tall edge
+    tiles): border crossings into a ragged neighbor must resolve the
+    'last row/col' against the RECEIVER's dims, not the emitter's."""
+    arr = fixtures.dem_arith(size=64)[:20, :40].copy()
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got = _acc_from_tiles(
+        flow.flow_accumulation(dir_tiles, 16, spark), 16, 20, 40
+    )
+    want = brute_acc(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got, want, equal_nan=True)
