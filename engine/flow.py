@@ -44,7 +44,13 @@ from pyspark.sql import functions as F
 
 from engine import tiling
 
-__all__ = ["D8_OFFSETS", "flow_accumulation", "flow_direction_kernel", "flow_direction"]
+__all__ = [
+    "D8_OFFSETS",
+    "flow_accumulation",
+    "flow_direction",
+    "flow_direction_kernel",
+    "watershed",
+]
 
 _SQRT2 = 1.4142135623730951
 
@@ -96,6 +102,26 @@ def flow_direction(
 _CODE2OFF = {c: (dj, di) for c, dj, di, _ in D8_OFFSETS}
 
 
+def _receivers(dirs: np.ndarray):
+    """(recv linear index or -1, exits-the-tile mask, jj, ii) for a
+    tile of D8 codes."""
+    nr, nc = dirs.shape
+    n = nr * nc
+    d = dirs.ravel()
+    valid = np.isfinite(d)
+    recv = np.full(n, -1, dtype=np.int64)
+    out_mask = np.zeros(n, dtype=bool)
+    jj, ii = np.divmod(np.arange(n), nc)
+    for c, (dj, di) in _CODE2OFF.items():
+        sel = valid & (d == c)
+        tj, ti = jj[sel] + dj, ii[sel] + di
+        inside = (tj >= 0) & (tj < nr) & (ti >= 0) & (ti < nc)
+        idx = np.flatnonzero(sel)
+        recv[idx[inside]] = tj[inside] * nc + ti[inside]
+        out_mask[idx[~inside]] = True
+    return recv, out_mask, jj, ii
+
+
 def _solve_tile(
     dirs: np.ndarray, inflow: np.ndarray
 ) -> tuple[np.ndarray, list[tuple[int, int, int, float]]]:
@@ -109,17 +135,7 @@ def _solve_tile(
     valid = np.isfinite(d)
     acc = np.where(valid, 1.0 + inflow.ravel(), 0.0)
 
-    # receiver linear index, -1 if none / outside the tile
-    recv = np.full(n, -1, dtype=np.int64)
-    out_mask = np.zeros(n, dtype=bool)
-    jj, ii = np.divmod(np.arange(n), nc)
-    for c, (dj, di) in _CODE2OFF.items():
-        sel = valid & (d == c)
-        tj, ti = jj[sel] + dj, ii[sel] + di
-        inside = (tj >= 0) & (tj < nr) & (ti >= 0) & (ti < nc)
-        idx = np.flatnonzero(sel)
-        recv[idx[inside]] = tj[inside] * nc + ti[inside]
-        out_mask[idx[~inside]] = True
+    recv, out_mask, jj, ii = _receivers(dirs)
 
     indeg = np.zeros(n, dtype=np.int64)
     has_recv = recv >= 0
@@ -283,3 +299,228 @@ def flow_accumulation(
         "tile_x", "tile_y", F.lit(level).alias("level"),
         F.lit("flowacc").alias("band"), "nrows", "ncols", "data",
     )
+
+
+# ---------------------------------------------------------------------------
+# Watershed delineation (basin labeling)
+# ---------------------------------------------------------------------------
+
+_WS_STAGE1_SCHEMA = (
+    "tile_x int, tile_y int, kind string, nrows int, ncols int, "
+    "plane binary, cellkey long, okey long, val long"
+)
+
+
+def watershed(
+    dir_tiles: DataFrame,
+    T: int,
+    spark: SparkSession,
+    level: int = 0,
+    wrap_nx: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Basin labeling: every valid cell gets the id of the PIT its D8
+    path terminates at (pit id = the pit cell's global index
+    ``(gy<<32)|gx`` — deterministic and SQL-replicable; flow never
+    leaves the raster, so every path ends at an in-raster pit).
+
+    Scale design — the planes are touched exactly TWICE and never
+    re-shipped per round:
+    1. ONE applyInPandas over the direction tiles: in-tile pointer
+       jumping (``t = t[t]``, O(log path) vectorized gathers) resolves
+       each cell to its in-tile terminal — a pit (resolved gid) or a
+       border-exit cell (pending). Emits the packed int64 terminal
+       plane (pending encoded as ``-(okey+1)``), one LINK row per exit
+       cell (okey → destination tile/cell), and this tile's EDGE-cell
+       classifications (incl. last-row/col sentinel aliases, so a
+       ragged neighbor's link can join them without knowing our dims).
+    2. links ⋈ edges gives the chain table okey → (gid | next okey);
+       pointer-jump the CHAIN TABLE (rows ∝ border-exit cells, not
+       cells) with one self-join per round, O(log chain) rounds,
+       localCheckpoint-bounded lineage.
+    3. ONE paint join maps each tile's pending okeys to final gids
+       (searchsorted remap next to the payload — the patches-relabel
+       pattern).
+
+    Precision note: output planes are float64 TILES_SCHEMA, exact while
+    gid < 2^53 (raster height < 2^21 rows); the internal pipeline is
+    int64 throughout.
+    """
+    dirs = dir_tiles.select(
+        "tile_x", "tile_y", "nrows", "ncols", "data"
+    ).localCheckpoint(eager=True)
+
+    def stage1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        nr, nc = int(row.nrows), int(row.ncols)
+        d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
+        tx, ty = int(key[0]), int(key[1])
+        recv, out_mask, jj, ii = _receivers(d)
+        n = nr * nc
+        valid = np.isfinite(d.ravel())
+        # pointer jumping to the in-tile terminal (recv<0 cells fix themselves)
+        t = np.where(recv >= 0, recv, np.arange(n))
+        while True:
+            t2 = t[t]
+            if np.array_equal(t2, t):
+                break
+            t = t2
+        gy = np.int64(ty) * T + jj
+        gx = np.int64(tx) * T + ii
+        gid = (gy.astype(np.int64) << 32) | gx.astype(np.int64)
+        term = t  # terminal cell index per cell
+        term_is_exit = out_mask[term]
+        # plane value: pit gid, or -(okey+1) with okey = exit cell's gid
+        plane = np.where(term_is_exit, -(gid[term] + 1), gid[term])
+        plane = np.where(valid, plane, np.int64(-(2**62)))  # invalid marker
+        rows = [{
+            "tile_x": tx, "tile_y": ty, "kind": "plane",
+            "nrows": nr, "ncols": nc,
+            "plane": plane.astype("<i8").tobytes(),
+            "cellkey": None, "okey": None, "val": None,
+        }]
+        # links: one row per exit cell
+        for cell in np.flatnonzero(out_mask):
+            dj, di = _CODE2OFF[int(d.ravel()[cell])]
+            tj, ti = jj[cell] + dj, ii[cell] + di
+            dty, dtx = 0, 0
+            if tj < 0:
+                dty, tj = -1, 0xFFFF
+            elif tj >= nr:
+                dty, tj = 1, tj - nr
+            if ti < 0:
+                dtx, ti = -1, 0xFFFF
+            elif ti >= nc:
+                dtx, ti = 1, ti - nc
+            ntx = tx + dtx
+            if wrap_nx is not None:
+                ntx %= wrap_nx
+            rows.append({
+                "tile_x": ntx, "tile_y": ty + dty, "kind": "link",
+                "nrows": None, "ncols": None, "plane": None,
+                "cellkey": int((int(tj) << 16) | int(ti)),
+                "okey": int(gid[cell]), "val": None,
+            })
+        # edge classifications (with sentinel aliases for last row/col)
+        edge_cells = np.flatnonzero(
+            valid
+            & ((jj == 0) | (jj == nr - 1) | (ii == 0) | (ii == nc - 1))
+        )
+        for cell in edge_cells:
+            v = int(gid[term[cell]]) if not term_is_exit[cell] else -(int(gid[term[cell]]) + 1)
+            lj, li = int(jj[cell]), int(ii[cell])
+            jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
+            ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
+            for kj in jkeys:
+                for ki in ikeys:
+                    rows.append({
+                        "tile_x": tx, "tile_y": ty, "kind": "edge",
+                        "nrows": None, "ncols": None, "plane": None,
+                        "cellkey": int((kj << 16) | ki),
+                        "okey": None, "val": v,
+                    })
+        return pd.DataFrame(
+            rows,
+            columns=["tile_x", "tile_y", "kind", "nrows", "ncols",
+                     "plane", "cellkey", "okey", "val"],
+        )
+
+    s1 = (
+        dirs.groupBy("tile_x", "tile_y")
+        .applyInPandas(stage1, _WS_STAGE1_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    links = s1.filter(F.col("kind") == "link").select(
+        "tile_x", "tile_y", "cellkey", "okey"
+    )
+    edges = s1.filter(F.col("kind") == "edge").select(
+        "tile_x", "tile_y", "cellkey", "val"
+    )
+    # chain table: okey -> val (>=0 final gid; <0 pending on -(val+1))
+    chain = links.join(edges, ["tile_x", "tile_y", "cellkey"]).select(
+        "okey", "val"
+    ).localCheckpoint(eager=True)
+
+    # pointer-jump the chain: follow pending rows one hop per round
+    # (each hop doubles resolved prefixes — O(log chain) rounds)
+    for _ in range(max_rounds):
+        pending = chain.filter(F.col("val") < 0)
+        if pending.isEmpty():
+            break
+        nxt = chain.select(
+            F.col("okey").alias("nokey"), F.col("val").alias("nval")
+        )
+        chain = (
+            chain.withColumn(
+                "ptr", F.when(F.col("val") < 0, -(F.col("val") + 1))
+            )
+            .join(nxt, F.col("ptr") == F.col("nokey"), "left")
+            .select(
+                "okey",
+                F.when(F.col("val") >= 0, F.col("val"))
+                .otherwise(F.coalesce("nval", "val"))
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"watershed chain did not resolve in {max_rounds} rounds")
+
+    # paint: per-tile pending okeys -> final gid, remapped next to the payload
+    tile_map = (
+        links.select(
+            F.col("okey").alias("src_okey")
+        )
+        .join(chain, F.col("src_okey") == F.col("okey"))
+        .select("okey", "val")
+    )
+    # okey encodes the source cell's global coords -> source tile
+    src = tile_map.select(
+        (F.shiftrightunsigned("okey", 32) / T).cast("int").alias("tile_y"),
+        (F.col("okey").bitwiseAND(F.lit(0xFFFFFFFF)) / T).cast("int").alias("tile_x"),
+        "okey", "val",
+    ).groupBy("tile_x", "tile_y").agg(
+        F.collect_list(F.struct("okey", "val")).alias("m")
+    )
+
+    planes = s1.filter(F.col("kind") == "plane").select(
+        "tile_x", "tile_y", "nrows", "ncols", "plane"
+    ).join(src, ["tile_x", "tile_y"], "left")
+
+    def paint(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for row in pdf.itertuples(index=False):
+                nr, nc = int(row.nrows), int(row.ncols)
+                plane = np.frombuffer(row.plane, dtype="<i8")
+                data = np.full(len(plane), np.nan)
+                resolved = plane >= 0
+                data[resolved] = plane[resolved].astype(np.float64)
+                pend = (plane < 0) & (plane != -(2**62))
+                if pend.any():
+                    m = row.m if row.m is not None else []
+                    pairs = [
+                        (e["okey"], e["val"]) if isinstance(e, dict) else (e[0], e[1])
+                        for e in m
+                    ]
+                    m_ok = np.array([p[0] for p in pairs], dtype=np.int64)
+                    m_v = np.array([p[1] for p in pairs], dtype=np.int64)
+                    order = np.argsort(m_ok)
+                    m_ok, m_v = m_ok[order], m_v[order]
+                    want = -(plane[pend] + 1)
+                    pos = np.searchsorted(m_ok, want)
+                    data[pend] = m_v[np.clip(pos, 0, max(len(m_ok) - 1, 0))].astype(
+                        np.float64
+                    )
+                out.append({
+                    "tile_x": row.tile_x, "tile_y": row.tile_y,
+                    "level": level, "band": "watershed",
+                    "nrows": nr, "ncols": nc, "data": data,
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["tile_x", "tile_y", "level", "band",
+                         "nrows", "ncols", "data"],
+            )
+
+    return planes.mapInPandas(paint, tiling.TILES_SCHEMA)

@@ -547,9 +547,21 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     )
     dir_tiles = flow.flow_direction(tiles, 16, level=10)
     acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark, level=10)
+    # watershed ids are pit global indices (gy<<32|gx) — too large for
+    # the micro-unit integer sum, so its summary is the DISTINCT BASIN
+    # COUNT per tile instead (exact integers in both engines)
+    ws_tiles = flow.watershed(dir_tiles, 16, spark, level=10)
+    ws_valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+    ws_rows = ws_tiles.select(
+        "tile_x",
+        "tile_y",
+        "band",
+        F.size(ws_valid).cast("long").alias("n_valid"),
+        F.size(F.array_distinct(ws_valid)).cast("double").alias("tile_sum"),
+    )
     return _tile_summary_quantized(
         out.unionByName(dir_tiles).unionByName(acc_tiles)
-    )
+    ).unionByName(ws_rows)
 
 
 # regenerates fixtures.dem_arith exactly (quadratic saddle, 3% hash
@@ -699,6 +711,15 @@ SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowacc',
        ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN facc a ON a.i // 16 = t.tx AND a.j // 16 = t.ty
 GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'watershed',
+       COUNT(v.wid), CAST(COUNT(DISTINCT v.wid) AS DOUBLE)
+FROM tiles0 t LEFT JOIN (
+  SELECT w.si // 16 AS tx, w.sj // 16 AS ty,
+         CAST(w.cj AS BIGINT) * 4294967296 + w.ci AS wid
+  FROM walk w JOIN fdir f ON f.i = w.ci AND f.j = w.cj
+  WHERE f.code = 0
+) v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
 

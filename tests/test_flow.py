@@ -201,3 +201,56 @@ def test_flow_accumulation_ragged_tiles(spark):
     )
     want = brute_acc(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def brute_watershed(dirs: np.ndarray, stride: int = 2**32) -> np.ndarray:
+    """wid(c) = global id (gy<<32|gx) of the pit c's path terminates at."""
+    H, W = dirs.shape
+    off = {c: (dj, di) for c, dj, di, _ in flow.D8_OFFSETS}
+    out = np.full((H, W), np.nan)
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(dirs[j, i]):
+                continue
+            cj, ci = j, i
+            while int(dirs[cj, ci]) != 0:
+                dj, di = off[int(dirs[cj, ci])]
+                cj, ci = cj + dj, ci + di
+            out[j, i] = float(cj * stride + ci)
+    return out
+
+
+def test_watershed_distributed(spark):
+    """16-tile basin labels == brute path walking on the saddle DEM —
+    basins span tiles, so the chain pointer-jump is exercised."""
+    arr = fixtures.dem_arith(size=64)
+    dirs_whole = flow.flow_direction_kernel(arr)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 64, 64)
+    want = brute_watershed(dirs_whole)
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    # more than one basin, and at least one spans multiple tiles
+    finite = want[np.isfinite(want)]
+    assert len(np.unique(finite)) > 1
+    wid0 = np.unique(finite)[0]
+    tiles_of_basin = {
+        (j // 16, i // 16)
+        for j, i in zip(*np.nonzero(np.nan_to_num(want, nan=-1) == wid0))
+    }
+    assert len(tiles_of_basin) > 1
+
+
+def test_watershed_ragged(spark):
+    arr = fixtures.dem_arith(size=64)[:20, :40].copy()
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 20, 40)
+    want = brute_watershed(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got, want, equal_nan=True)
