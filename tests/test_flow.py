@@ -254,3 +254,39 @@ def test_watershed_ragged(spark):
     got = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 20, 40)
     want = brute_watershed(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def test_flow_and_watershed_scale_256(spark):
+    """256×256 DEM over 256 tiles (T=16): the tiled pipelines equal a
+    whole-array single solve — cross-impl equality isolating the
+    inter-tile stitching at a tile-graph 16× larger than the goldens."""
+    rng = np.random.default_rng(11)
+    # smooth rolling surface + speckle: many basins, long flow paths
+    jj, ii = np.mgrid[0:256, 0:256].astype(np.float64)
+    arr = (
+        np.sin(ii / 19.0) * 13.0
+        + np.cos(jj / 23.0) * 11.0
+        + 0.004 * (ii - 90) ** 2 / 256
+        + rng.random((256, 256)) * 0.1
+    )
+    arr[rng.random((256, 256)) < 0.01] = np.nan
+    dirs_whole = flow.flow_direction_kernel(arr)
+
+    # whole-array references via the per-tile solver on ONE big tile
+    acc_ref, emits = flow._solve_tile(dirs_whole, np.zeros_like(arr))
+    assert not emits  # nothing leaves the raster
+    acc_ref = np.where(np.isfinite(dirs_whole.ravel()), acc_ref, np.nan)
+
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got_acc = _acc_from_tiles(
+        flow.flow_accumulation(dir_tiles, 16, spark), 16, 256, 256
+    )
+    np.testing.assert_allclose(got_acc.ravel(), acc_ref, equal_nan=True)
+
+    got_ws = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 256, 256)
+    want_ws = brute_watershed(dirs_whole)
+    np.testing.assert_allclose(got_ws, want_ws, equal_nan=True)
