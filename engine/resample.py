@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from engine import tiling
 
-__all__ = ["bilinear_2x", "sample_bilinear", "upsample_bilinear"]
+__all__ = ["bilinear_2x", "sample_bilinear", "upsample_bilinear", "warp_affine"]
 
 
 def bilinear_2x(padded: np.ndarray, nr: int, nc: int, g: int = 1) -> np.ndarray:
@@ -218,3 +218,110 @@ def sample_bilinear(
         .cogroup(exchanged.groupBy("dst_tx", "dst_ty"))
         .applyInPandas(run, out_schema)
     )
+
+
+def warp_affine(
+    tiles: DataFrame,
+    T: int,
+    coeffs: tuple[float, float, float, float, float, float],
+    out_shape: tuple[int, int],
+    band: str = "z",
+    out_band: str = "warp",
+    level: int = 0,
+) -> DataFrame:
+    """Nearest-neighbor affine warp / reproject (R2, round 3): output
+    cell (oi, oj) samples source cell
+    ``si = floor(a·(oi+.5) + b·(oj+.5) + c)``,
+    ``sj = floor(d·(oi+.5) + e·(oj+.5) + f)`` (pixel-center convention,
+    coeffs = (a, b, c, d, e, f); i = x/col, j = y/row). Out-of-raster
+    or nodata sources → NaN. The general gdalwarp shape: scale, rotate,
+    translate, flip are all affine; bilinear variants share the same
+    plumbing with 4 gathers.
+
+    Scale design: a PLANNING join on tile METADATA only — each output
+    tile's pixel-center bbox maps through the affine to a source bbox
+    (exact for an affine: extrema at corners), JVM `sequence`-exploded
+    to the covered source-tile ids; the DATA join ships each source
+    tile to exactly the output tiles that need it (fan-out ≈ the area
+    ratio, 1–4 for modest warps), then ONE applyInPandas per output
+    tile gathers vectorized per present source tile. No per-pixel rows
+    ever shuffle; absent/out-of-extent output tiles are simply absent
+    (sparse-raster convention).
+    """
+    a, b, c, d, e, f = (float(x) for x in coeffs)
+    H, W = out_shape
+    nx_out = (W + T - 1) // T
+    ny_out = (H + T - 1) // T
+
+    out_tiles = tiles.sparkSession.range(nx_out * ny_out).select(
+        (F.col("id") % nx_out).cast("int").alias("otx"),
+        (F.col("id") / nx_out).cast("int").alias("oty"),
+    )
+    # ragged edge: actual pixel extent of each output tile
+    ow = F.least(F.lit(W) - F.col("otx") * T, F.lit(T))
+    oh = F.least(F.lit(H) - F.col("oty") * T, F.lit(T))
+    x0 = F.col("otx") * T + F.lit(0.5)
+    y0 = F.col("oty") * T + F.lit(0.5)
+    x1 = F.col("otx") * T + ow - F.lit(0.5)
+    y1 = F.col("oty") * T + oh - F.lit(0.5)
+    corners_i = [
+        F.lit(a) * xx + F.lit(b) * yy + F.lit(c)
+        for xx in (x0, x1) for yy in (y0, y1)
+    ]
+    corners_j = [
+        F.lit(d) * xx + F.lit(e) * yy + F.lit(f)
+        for xx in (x0, x1) for yy in (y0, y1)
+    ]
+    si_min = F.floor(F.least(*corners_i)).cast("long")
+    si_max = F.floor(F.greatest(*corners_i)).cast("long")
+    sj_min = F.floor(F.least(*corners_j)).cast("long")
+    sj_max = F.floor(F.greatest(*corners_j)).cast("long")
+    plan = (
+        out_tiles.select(
+            "otx", "oty",
+            F.explode(
+                F.sequence(
+                    F.floor(si_min / T).cast("int"), F.floor(si_max / T).cast("int")
+                )
+            ).alias("tile_x"),
+            (sj_min / T).cast("int").alias("_sty0"),
+            (sj_max / T).cast("int").alias("_sty1"),
+        )
+        .select(
+            "otx", "oty", "tile_x",
+            F.explode(F.sequence("_sty0", "_sty1")).alias("tile_y"),
+        )
+    )
+    joined = plan.join(
+        tiles.filter(F.col("band") == band).select(
+            "tile_x", "tile_y", "nrows", "ncols", "data"
+        ),
+        ["tile_x", "tile_y"],
+    )
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = int(key[0]), int(key[1])
+        onr = min(H - oty * T, T)
+        onc = min(W - otx * T, T)
+        oj, oi = np.divmod(np.arange(onr * onc), onc)
+        gx = otx * T + oi + 0.5
+        gy = oty * T + oj + 0.5
+        si = np.floor(a * gx + b * gy + c).astype(np.int64)
+        sj = np.floor(d * gx + e * gy + f).astype(np.int64)
+        out = np.full(onr * onc, np.nan)
+        for row in pdf.itertuples(index=False):
+            snr, snc = int(row.nrows), int(row.ncols)
+            arr = np.asarray(row.data, dtype=np.float64)
+            li = si - row.tile_x * T
+            lj = sj - row.tile_y * T
+            sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+            if sel.any():
+                out[sel] = arr[lj[sel] * snc + li[sel]]
+        return pd.DataFrame(
+            [{
+                "tile_x": otx, "tile_y": oty, "level": level,
+                "band": out_band, "nrows": onr, "ncols": onc, "data": out,
+            }]
+        )
+
+    return joined.groupBy("otx", "oty").applyInPandas(gather, tiling.TILES_SCHEMA)

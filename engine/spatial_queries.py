@@ -977,15 +977,22 @@ FROM dem
 
 
 def sq_upsample(spark: SparkSession, sf: str) -> DataFrame:
-    """Bilinear 2x upsample (engine/resample.py) of the arithmetic DEM
-    64x64 -> 128x128; per-child-tile summary. NaN-aware renormalizing
-    corners (speckle + border exercise the rule)."""
+    """Resample family in one driver row: bilinear 2x upsample of the
+    arithmetic DEM (64x64 -> 128x128, band 'z') UNION the round-3
+    nearest-neighbor affine WARP (rotation+scale+translate to a 40x56
+    output, band 'warp'); per-tile summary. NaN-aware renormalizing
+    corners / out-of-extent NaN (speckle + borders exercise both)."""
     from engine import resample
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
     tiles = _dem_tiles(spark)
-    return _tile_summary(resample.upsample_bilinear(tiles, 16, level=0, band="z"))
+    up = resample.upsample_bilinear(tiles, 16, level=0, band="z")
+    warp = resample.warp_affine(
+        tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56),
+        band="z", out_band="warp",
+    )
+    return _tile_summary(up.unionByName(warp))
 
 
 # child sample at parent offset ±0.25 per axis -> corner weights are
@@ -1020,10 +1027,27 @@ interp AS (
 ),
 vals AS (SELECT ci // 16 AS tx, cj // 16 AS ty, num / den AS v
          FROM interp WHERE den > 0),
-tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 8) a(tx), range(0, 8) b(ty))
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 8) a(tx), range(0, 8) b(ty)),
+-- nearest-neighbor affine warp mirror (engine/resample.warp_affine):
+-- same coeffs, same pixel-center floor; only valid dem cells join
+wpix AS (
+  SELECT a.oi AS oi, b.oj AS oj,
+         CAST(FLOOR(0.7 * (a.oi + 0.5) - 0.4 * (b.oj + 0.5) + 6.0) AS BIGINT) AS si,
+         CAST(FLOOR(0.4 * (a.oi + 0.5) + 0.7 * (b.oj + 0.5) - 3.0) AS BIGINT) AS sj
+  FROM range(0, 56) a(oi), range(0, 40) b(oj)
+),
+wvals AS (
+  SELECT w.oi // 16 AS tx, w.oj // 16 AS ty, d.z AS v
+  FROM wpix w JOIN dem d ON d.i = w.si AND d.j = w.sj
+),
+wtiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 3) b(ty))
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'z' AS band,
        COUNT(v.v) AS n_valid, ROUND(COALESCE(SUM(v.v), 0.0), 4) AS tile_sum
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'warp',
+       COUNT(v.v), ROUND(COALESCE(SUM(v.v), 0.0), 4)
+FROM wtiles t LEFT JOIN wvals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
 

@@ -157,3 +157,80 @@ def test_sample_bilinear_absent_anchor_tile(spark):
     assert not np.isnan(want0)
     np.testing.assert_allclose(got[0], want0, atol=1e-12)
     assert 1 not in got.index
+
+
+def brute_warp(arr, coeffs, out_shape):
+    import numpy as np
+    a, b, c, d, e, f = coeffs
+    H, W = out_shape
+    sh, sw = arr.shape
+    out = np.full((H, W), np.nan)
+    for oj in range(H):
+        for oi in range(W):
+            si = int(np.floor(a * (oi + 0.5) + b * (oj + 0.5) + c))
+            sj = int(np.floor(d * (oi + 0.5) + e * (oj + 0.5) + f))
+            if 0 <= si < sw and 0 <= sj < sh:
+                out[oj, oi] = arr[sj, si]
+    return out
+
+
+def _plane(df, T, H, W):
+    import numpy as np
+    out = np.full((H, W), np.nan)
+    for r in df.collect():
+        a = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        out[r.tile_y * T : r.tile_y * T + r.nrows,
+            r.tile_x * T : r.tile_x * T + r.ncols] = a
+    return out
+
+
+def test_warp_affine_golden(spark):
+    """Rotation+scale+translate warp over the speckled DEM == brute
+    per-pixel affine lookup (covers tile fan-out, ragged output edges,
+    and out-of-extent NaN)."""
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    # ~30 deg rotation, 0.8 scale, translated: exercises multi-source-tile
+    # gathers and out-of-extent corners; output 40x56 (ragged edge tiles)
+    coeffs = (0.7, -0.4, 6.0, 0.4, 0.7, -3.0)
+    out_shape = (40, 56)
+    got = _plane(
+        resample.warp_affine(tiles, 16, coeffs, out_shape), 16, *reversed([56, 40])
+    )
+    want = brute_warp(arr, coeffs, out_shape)
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9), rtol=0, atol=0
+    )
+    assert np.isfinite(got).any() and np.isnan(got).any()
+
+
+def test_warp_affine_identity_and_flip(spark):
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    ident = _plane(
+        resample.warp_affine(tiles, 16, (1, 0, 0, 0, 1, 0), (64, 64)), 16, 64, 64
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(ident, nan=-9), np.nan_to_num(arr, nan=-9)
+    )
+    # horizontal flip: si = 63.5... use a=-1, c=64 -> floor(64 - (oi+.5))
+    flip = _plane(
+        resample.warp_affine(tiles, 16, (-1, 0, 64, 0, 1, 0), (64, 64)), 16, 64, 64
+    )
+    np.testing.assert_allclose(
+        np.nan_to_num(flip, nan=-9), np.nan_to_num(arr[:, ::-1], nan=-9)
+    )
