@@ -93,3 +93,16 @@ def test_distance_transform_wrap(spark):
     assert got[5, 0] == pytest.approx(1.0)  # across the seam
     assert got[5, W - 2] == pytest.approx(1.0)
     assert np.isnan(got[5, 10])  # interior beyond cap
+
+
+def test_distance_transform_plan_one_exchange(spark):
+    """Capped EDT is ONE halo exchange + one applyInPandas — same
+    physical shape as every focal stat."""
+    arr = fixtures.raster_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="class"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    d = distance.distance_transform(tiles, 16, 6, lambda a: a > 0)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

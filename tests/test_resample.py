@@ -234,3 +234,19 @@ def test_warp_affine_identity_and_flip(spark):
     np.testing.assert_allclose(
         np.nan_to_num(flip, nan=-9), np.nan_to_num(arr[:, ::-1], nan=-9)
     )
+
+
+def test_warp_affine_plan_shape(spark):
+    """The planning (metadata) side must BROADCAST onto the tile data
+    and the only hash exchange is the output-tile grouping — no
+    per-pixel or per-tile shuffle of payloads beyond it."""
+    from engine import fixtures, resample
+
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(fixtures.dem_arith(size=64), 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    w = resample.warp_affine(tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56))
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
