@@ -228,15 +228,20 @@ def warp_affine(
     band: str = "z",
     out_band: str = "warp",
     level: int = 0,
+    method: str = "nearest",
 ) -> DataFrame:
-    """Nearest-neighbor affine warp / reproject (R2, round 3): output
-    cell (oi, oj) samples source cell
-    ``si = floor(a·(oi+.5) + b·(oj+.5) + c)``,
-    ``sj = floor(d·(oi+.5) + e·(oj+.5) + f)`` (pixel-center convention,
-    coeffs = (a, b, c, d, e, f); i = x/col, j = y/row). Out-of-raster
-    or nodata sources → NaN. The general gdalwarp shape: scale, rotate,
-    translate, flip are all affine; bilinear variants share the same
-    plumbing with 4 gathers.
+    """Affine warp / reproject (R2, round 3): output cell (oi, oj)
+    samples the source at the continuous coordinate
+    ``p_i = a·(oi+.5) + b·(oj+.5) + c``, ``p_j = d·(oi+.5) + e·(oj+.5)
+    + f`` (pixel-center convention, coeffs = (a, b, c, d, e, f);
+    i = x/col, j = y/row).
+
+    method='nearest': the containing cell ``floor(p)``; out-of-raster
+    or nodata → NaN. method='bilinear': 4 corners at
+    ``floor(p−.5) (+1)`` with fractional weights and the engine's
+    NaN-renormalizing valid-corner rule (same corner convention as
+    bilinear_2x / sample_bilinear); no valid corner → NaN. The general
+    gdalwarp shape: scale, rotate, translate, flip are all affine.
 
     Scale design: a PLANNING join on tile METADATA only — each output
     tile's pixel-center bbox maps through the affine to a source bbox
@@ -248,10 +253,14 @@ def warp_affine(
     ever shuffle; absent/out-of-extent output tiles are simply absent
     (sparse-raster convention).
     """
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown warp method: {method}")
     a, b, c, d, e, f = (float(x) for x in coeffs)
     H, W = out_shape
     nx_out = (W + T - 1) // T
     ny_out = (H + T - 1) // T
+    # bilinear corners reach one pixel beyond the containing cell
+    margin = 0 if method == "nearest" else 1
 
     out_tiles = tiles.sparkSession.range(nx_out * ny_out).select(
         (F.col("id") % nx_out).cast("int").alias("otx"),
@@ -272,10 +281,10 @@ def warp_affine(
         F.lit(d) * xx + F.lit(e) * yy + F.lit(f)
         for xx in (x0, x1) for yy in (y0, y1)
     ]
-    si_min = F.floor(F.least(*corners_i)).cast("long")
-    si_max = F.floor(F.greatest(*corners_i)).cast("long")
-    sj_min = F.floor(F.least(*corners_j)).cast("long")
-    sj_max = F.floor(F.greatest(*corners_j)).cast("long")
+    si_min = F.floor(F.least(*corners_i)).cast("long") - margin
+    si_max = F.floor(F.greatest(*corners_i)).cast("long") + margin
+    sj_min = F.floor(F.least(*corners_j)).cast("long") - margin
+    sj_max = F.floor(F.greatest(*corners_j)).cast("long") + margin
     plan = (
         out_tiles.select(
             "otx", "oty",
@@ -306,17 +315,48 @@ def warp_affine(
         oj, oi = np.divmod(np.arange(onr * onc), onc)
         gx = otx * T + oi + 0.5
         gy = oty * T + oj + 0.5
-        si = np.floor(a * gx + b * gy + c).astype(np.int64)
-        sj = np.floor(d * gx + e * gy + f).astype(np.int64)
-        out = np.full(onr * onc, np.nan)
-        for row in pdf.itertuples(index=False):
-            snr, snc = int(row.nrows), int(row.ncols)
-            arr = np.asarray(row.data, dtype=np.float64)
-            li = si - row.tile_x * T
-            lj = sj - row.tile_y * T
-            sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
-            if sel.any():
-                out[sel] = arr[lj[sel] * snc + li[sel]]
+        p_i = a * gx + b * gy + c
+        p_j = d * gx + e * gy + f
+        if method == "nearest":
+            si = np.floor(p_i).astype(np.int64)
+            sj = np.floor(p_j).astype(np.int64)
+            out = np.full(onr * onc, np.nan)
+            for row in pdf.itertuples(index=False):
+                snr, snc = int(row.nrows), int(row.ncols)
+                arr = np.asarray(row.data, dtype=np.float64)
+                li = si - row.tile_x * T
+                lj = sj - row.tile_y * T
+                sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+                if sel.any():
+                    out[sel] = arr[lj[sel] * snc + li[sel]]
+        else:  # bilinear, pinned corner order (0,0),(0,1),(1,0),(1,1)
+            i0 = np.floor(p_i - 0.5).astype(np.int64)
+            j0 = np.floor(p_j - 0.5).astype(np.int64)
+            fx = (p_i - 0.5) - i0
+            fy = (p_j - 0.5) - j0
+            num = np.zeros(onr * onc)
+            den = np.zeros(onr * onc)
+            for dy in (0, 1):
+                wy = (1.0 - fy) if dy == 0 else fy
+                for dx in (0, 1):
+                    wx = (1.0 - fx) if dx == 0 else fx
+                    ci, cj = i0 + dx, j0 + dy
+                    for row in pdf.itertuples(index=False):
+                        snr, snc = int(row.nrows), int(row.ncols)
+                        arr = np.asarray(row.data, dtype=np.float64)
+                        li = ci - row.tile_x * T
+                        lj = cj - row.tile_y * T
+                        sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+                        if not sel.any():
+                            continue
+                        v = arr[lj[sel] * snc + li[sel]]
+                        ok = ~np.isnan(v)
+                        w = (wy * wx)[sel]
+                        num[sel] += np.where(ok, w * v, 0.0)
+                        den[sel] += np.where(ok, w, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / den
+            out[den == 0.0] = np.nan
         return pd.DataFrame(
             [{
                 "tile_x": otx, "tile_y": oty, "level": level,

@@ -250,3 +250,53 @@ def test_warp_affine_plan_shape(spark):
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def brute_warp_bilinear(arr, coeffs, out_shape):
+    import numpy as np
+    a, b, c, d, e, f = coeffs
+    H, W = out_shape
+    sh, sw = arr.shape
+    out = np.full((H, W), np.nan)
+    for oj in range(H):
+        for oi in range(W):
+            p_i = a * (oi + 0.5) + b * (oj + 0.5) + c
+            p_j = d * (oi + 0.5) + e * (oj + 0.5) + f
+            i0 = int(np.floor(p_i - 0.5))
+            j0 = int(np.floor(p_j - 0.5))
+            fx = (p_i - 0.5) - i0
+            fy = (p_j - 0.5) - j0
+            num = den = 0.0
+            for dy in (0, 1):
+                wy = (1.0 - fy) if dy == 0 else fy
+                for dx in (0, 1):
+                    wx = (1.0 - fx) if dx == 0 else fx
+                    ci, cj = i0 + dx, j0 + dy
+                    if 0 <= ci < sw and 0 <= cj < sh and np.isfinite(arr[cj, ci]):
+                        num += (wy * wx) * arr[cj, ci]
+                        den += wy * wx
+            if den > 0.0:
+                out[oj, oi] = num / den
+    return out
+
+
+def test_warp_affine_bilinear_golden(spark):
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    coeffs = (0.7, -0.4, 6.0, 0.4, 0.7, -3.0)
+    got = _plane(
+        resample.warp_affine(tiles, 16, coeffs, (40, 56), method="bilinear"),
+        16, 40, 56,
+    )
+    want = brute_warp_bilinear(arr, coeffs, (40, 56))
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+        rtol=1e-12, atol=1e-12,
+    )
