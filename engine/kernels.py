@@ -209,6 +209,24 @@ def focal_weighted_mean(
     return out
 
 
+def focal_annulus_mean(arr: np.ndarray, r: int, r_in: float) -> np.ndarray:
+    """Ring/doughnut mean (round 3 — the moving-window ecology kernel
+    for excluding the focal neighborhood's core): mean of valid cells
+    with center distance r_in < d <= r. Same FFT-correlation path as
+    the weighted mean with a binary ring mask; all-invalid ring -> NaN."""
+    vals, valid = _valid_and_values(arr)
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    d = np.sqrt((dy * dy + dx * dx).astype(np.float64))
+    w = ((d > r_in) & (d <= r)).astype(np.float64)
+    num = _correlate_full(vals, w)
+    den = _correlate_full(valid, w)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    # FFT roundoff: a truly empty ring has den ~ 1e-13, a 1-cell ring >= 1
+    out[den <= 0.5] = np.nan
+    return out
+
+
 # ---------------------------------------------------------------------------
 # W4: focal min / max — van Herk/Gil-Werman 1-D running extrema, separable
 # for the square window; circle falls back to chord-wise extrema.

@@ -483,6 +483,9 @@ def _resolve_stat(name: str):
     if name.startswith("proportion:"):
         klass = float(name.split(":", 1)[1])
         return lambda a, r, s, _k=klass: kernels.focal_proportion(a, r, _k, s)
+    if name.startswith("annulus_mean:"):
+        r_in = float(name.split(":", 1)[1])
+        return lambda a, r, s, _ri=r_in: kernels.focal_annulus_mean(a, r, _ri)
     return KERNELS[name]
 
 

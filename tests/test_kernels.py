@@ -255,3 +255,53 @@ def test_integer_exactness():
     a = rng.integers(0, 100, size=(17, 19)).astype(np.float64)
     s = kernels.focal_sum(a, 3, "circle")
     assert (s == np.rint(s)).all()
+
+
+def test_focal_annulus_mean_brute():
+    """Ring mean r_in < d <= r vs explicit enumeration, NaN speckle and
+    borders included; empty rings (all-invalid) -> NaN."""
+    rng = np.random.default_rng(5)
+    arr = rng.random((30, 27)) * 10
+    arr[rng.random((30, 27)) < 0.15] = np.nan
+    r, r_in = 5, 2.0
+    got = kernels.focal_annulus_mean(arr, r, r_in)
+    H, W = arr.shape
+    want = np.full((H, W), np.nan)
+    for j in range(H):
+        for i in range(W):
+            vals = []
+            for dj in range(-r, r + 1):
+                for di in range(-r, r + 1):
+                    d = (dj * dj + di * di) ** 0.5
+                    if not (r_in < d <= r):
+                        continue
+                    nj, ni = j + dj, i + di
+                    if 0 <= nj < H and 0 <= ni < W and np.isfinite(arr[nj, ni]):
+                        vals.append(arr[nj, ni])
+            if vals:
+                want[j, i] = sum(vals) / len(vals)
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_focal_annulus_registry(spark):
+    """The parameterized 'annulus_mean:<r_in>' form resolves through
+    apply_focal and equals the direct kernel on tiled input."""
+    from engine import fixtures, tiling
+
+    arr = fixtures.dem_arith(size=32)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = tiling.apply_focal(tiles, 4, "circle", ["annulus_mean:1.5"], 16, level=0)
+    whole = kernels.focal_annulus_mean(arr, 4, 1.5)
+    for rrow in out.collect():
+        got = np.asarray(rrow.data, dtype=np.float64).reshape(rrow.nrows, rrow.ncols)
+        want = whole[rrow.tile_y * 16 : rrow.tile_y * 16 + rrow.nrows,
+                     rrow.tile_x * 16 : rrow.tile_x * 16 + rrow.ncols]
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+            rtol=1e-9, atol=1e-9,
+        )
