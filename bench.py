@@ -47,6 +47,13 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+_HEADLINE_KEYS = (
+    "focal_circle_r7_2048tiles",
+    "pipeline_docs_to_stats",
+    "pip_join_4m_points",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
@@ -120,15 +127,17 @@ def main() -> None:
             "pipeline_docs_per_sec": round(legs["pipeline"]["per_sec"], 2),
             "pip_join_rows_per_sec": round(legs["pip"]["per_sec"], 2),
         },
+        # sum/count over the CONTRACT queries only — the three headline
+        # legs are excluded from both (they have their own throughput
+        # fields above; r3 ADVICE: the sum used to include them)
         "contract_queries_sec": round(
-            sum(v for k, v in queries.items() if v > 0), 2
+            sum(
+                v for k, v in queries.items()
+                if v > 0 and k not in _HEADLINE_KEYS
+            ), 2
         ),
         "contract_queries_n": sum(
-            1 for k in queries if k not in (
-                "focal_circle_r7_2048tiles",
-                "pipeline_docs_to_stats",
-                "pip_join_4m_points",
-            )
+            1 for k in queries if k not in _HEADLINE_KEYS
         ),
         "isolation": "fresh JVM per headline leg; warm+GC before timed run",
         "detail": "BENCH/bench_full.json",

@@ -293,8 +293,10 @@ def warp_affine(
                     F.floor(si_min / T).cast("int"), F.floor(si_max / T).cast("int")
                 )
             ).alias("tile_x"),
-            (sj_min / T).cast("int").alias("_sty0"),
-            (sj_max / T).cast("int").alias("_sty1"),
+            # F.floor on BOTH axes: a bare int cast truncates toward
+            # zero and would under-cover negative tile rows (r3 ADVICE)
+            F.floor(sj_min / T).cast("int").alias("_sty0"),
+            F.floor(sj_max / T).cast("int").alias("_sty1"),
         )
         .select(
             "otx", "oty", "tile_x",

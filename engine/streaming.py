@@ -228,7 +228,21 @@ def incremental_focal(
 
     def process_batch(batch_cells: DataFrame, batch_id: int) -> None:
         spark = batch_cells.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # scope the dynamic-overwrite mode to THIS batch: restore the
+        # session's prior value afterwards so later partitioned writes
+        # on the shared session keep their semantics (r3 ADVICE)
+        _mode_key = "spark.sql.sources.partitionOverwriteMode"
+        _prev_mode = spark.conf.get(_mode_key, None)
+        spark.conf.set(_mode_key, "dynamic")
+        try:
+            _process_batch_inner(spark, batch_cells)
+        finally:
+            if _prev_mode is None:
+                spark.conf.unset(_mode_key)
+            else:
+                spark.conf.set(_mode_key, _prev_mode)
+
+    def _process_batch_inner(spark: SparkSession, batch_cells: DataFrame) -> None:
         delta = tiling.rasterize(batch_cells, T, level, stat="count")
         delta.persist()
         dirty0 = delta.select("tile_x", "tile_y").distinct()

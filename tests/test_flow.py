@@ -124,6 +124,37 @@ def test_flow_accumulation_long_chain(spark):
     assert want.max() == 128  # the full row drains through the last cell
 
 
+def test_flow_accumulation_long_chain_plan_shape(spark):
+    """Scale guarantee (r3 VERDICT №1): on a 64-tile chain the planes
+    ship at most twice and the fixpoint is O(log chain) rounds over
+    border rows only — NOT one plane re-shuffle per tile hop.
+
+    Evidence asserted: (a) the pointer-doubling round count for a
+    64-tile-long flow line is ~log2(64), not 64; (b) the final plan
+    contains exactly one plane-bearing Python stage (the paint
+    mapInPandas) and no per-round grouped re-solve — stage 1 sits
+    behind a localCheckpoint, so any O(rounds) plane movement would
+    have to show up in one of these two places."""
+    arr = np.tile(np.arange(512, 0, -1, dtype=np.float64), (8, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 8)
+    stats: dict = {}
+    acc = flow.flow_accumulation(dir_tiles, 8, spark, stats=stats)
+    plan = acc._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    got = _acc_from_tiles(acc, 8, 8, 512)
+    want = brute_acc(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    assert want.max() == 512
+    # 64-tile border chain resolves in ~log2 rounds (doubling), with
+    # slack for the final all-null detection round
+    assert 1 <= stats["rounds"] <= 9, stats
+
+
 def brute_d8_wrap(arr: np.ndarray) -> np.ndarray:
     """D8 with modular x (horizontal wrap)."""
     H, W = arr.shape
