@@ -70,6 +70,7 @@ __all__ = [
     "flow_accumulation",
     "flow_direction",
     "flow_direction_kernel",
+    "strahler",
     "watershed",
 ]
 
@@ -644,6 +645,252 @@ def watershed(
                 out.append({
                     "tile_x": row.tile_x, "tile_y": row.tile_y,
                     "level": level, "band": "watershed",
+                    "nrows": nr, "ncols": nc, "data": data,
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["tile_x", "tile_y", "level", "band",
+                         "nrows", "ncols", "data"],
+            )
+
+    return planes.mapInPandas(paint, tiling.TILES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Strahler stream order (stream network extraction)
+# ---------------------------------------------------------------------------
+
+
+def strahler(
+    dir_tiles: DataFrame,
+    acc_tiles: DataFrame,
+    T: int,
+    spark: SparkSession,
+    threshold: float = 8.0,
+    level: int = 0,
+    wrap_nx: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Strahler stream order over the extracted stream network (tiles
+    schema out, band 'strahler').
+
+    Pinned semantics (mirrored by the DuckDB oracle):
+    - the stream NETWORK is the set of valid cells with flow
+      accumulation >= ``threshold``; accumulation is monotone
+      non-decreasing downstream, so the network is closed under the D8
+      successor map (a network cell's receiver is a network cell);
+    - order 1 at network cells with no network inflow; at every other
+      cell, order = max over network inflow orders, +1 when >= 2
+      inflows attain that max (the classic Strahler confluence rule —
+      order is constant along a chain and only changes at junctions);
+    - output plane: order for network cells, 0 for valid non-network
+      cells, NaN for nodata.
+
+    Scale design — planes ship at most twice, every fixpoint runs over
+    NETWORK ROWS, and the round count is (max order) x O(log n), NOT
+    the junction depth of the longest stream:
+    1. ONE tile-key join of the direction and accumulation planes +
+       mapInPandas extracts the network as (gid, succ_gid) edge rows —
+       global ids need no neighbor handshake, so no sentinel protocol;
+    2. level-set characterization: with S_k = {cells of order >= k},
+       S_1 = network and S_{k+1} = the downstream closure of the
+       junctions having >= 2 immediate inflows in S_k (exact because
+       Strahler order is non-decreasing downstream; the same unrolled
+       form the DuckDB oracle uses). ord(c) = 1 + #{k : c in S_{k+1}}.
+       The closure is an IDEMPOTENT mark propagation, so it runs over
+       precomputed pointer-doubling jump tables P_r = succ^(2^r)
+       (built once, reused by every level): ceil(log2 n) mark rounds
+       per level, and #levels = max order (<= ~12 on any real DEM);
+    3. ONE paint join back onto the direction planes (second and last
+       plane movement).
+
+    With ``wrap_nx`` the x axis is modular; global x wraps at
+    ``wrap_nx * T``, so wrapped rasters must be x-regular (every tile
+    column T wide — asserted).
+    """
+    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    wrap_gw = None if wrap_nx is None else wrap_nx * T
+
+    dirs = dir_tiles.select(
+        "tile_x", "tile_y", "nrows", "ncols", "data"
+    ).localCheckpoint(eager=True)
+    joined = dirs.join(
+        acc_tiles.select(
+            "tile_x", "tile_y", F.col("data").alias("acc_data")
+        ),
+        ["tile_x", "tile_y"],
+    )
+
+    theta = float(threshold)
+
+    def extract(pdf_iter):
+        for pdf in pdf_iter:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                nr, nc = int(row.nrows), int(row.ncols)
+                if wrap_gw is not None:
+                    assert nc == T, "wrap_nx requires x-regular tiles"
+                d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
+                a = np.asarray(row.acc_data, dtype=np.float64)
+                net = np.isfinite(a) & (a >= theta)
+                if not net.any():
+                    continue
+                idx = np.flatnonzero(net)
+                jj, ii = np.divmod(idx, nc)
+                gy = np.int64(row.tile_y) * T + jj.astype(np.int64)
+                gx = np.int64(row.tile_x) * T + ii.astype(np.int64)
+                gid = (gy << 32) | gx
+                code = d.ravel()[idx].astype(np.int64)
+                sgy = gy.copy()
+                sgx = gx.copy()
+                for c, (dj, di) in _CODE2OFF.items():
+                    sel = code == c
+                    sgy[sel] += dj
+                    sgx[sel] += di
+                if wrap_gw is not None:
+                    sgx %= wrap_gw
+                succ = (sgy << 32) | sgx
+                outs.append(pd.DataFrame({
+                    "gid": gid,
+                    "succ": np.where(code == 0, None, succ),
+                }))
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"gid": [], "succ": []})
+            )
+
+    edges = (
+        joined.mapInPandas(extract, "gid long, succ long")
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        # no network: all-zero plane over valid cells
+        return dirs.mapInPandas(
+            lambda it: (
+                pd.DataFrame([{
+                    "tile_x": r.tile_x, "tile_y": r.tile_y,
+                    "level": level, "band": "strahler",
+                    "nrows": r.nrows, "ncols": r.ncols,
+                    "data": np.where(
+                        np.isfinite(np.asarray(r.data, dtype=np.float64)),
+                        0.0, np.nan,
+                    ),
+                } for r in pdf.itertuples(index=False)])
+                for pdf in it
+            ),
+            tiling.TILES_SCHEMA,
+        )
+
+    # jump tables P_r = succ^(2^r), built once by pointer doubling and
+    # reused by every level's closure; chains are at most n cells, so
+    # ceil(log2 n) tables always cover the longest path
+    n_net = edges.count()
+    n_jumps = max(1, int(np.ceil(np.log2(max(n_net, 2)))))
+    jumps = [
+        edges.select("gid", F.col("succ").alias("p")).localCheckpoint(
+            eager=True
+        )
+    ]
+    for _ in range(n_jumps - 1):
+        prev = jumps[-1]
+        nxt = prev.select(F.col("gid").alias("k2"), F.col("p").alias("p2"))
+        jumps.append(
+            prev.join(nxt, prev.p == F.col("k2"), "left")
+            .select("gid", F.col("p2").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+
+    preds = edges.filter(F.col("succ").isNotNull()).select(
+        F.col("succ").alias("dst"), F.col("gid").alias("src")
+    )
+
+    # level loop: S_1 = network (implicit); per level find the
+    # junctions fed by >= 2 S_k inflows, then mark their downstream
+    # closure (idempotent, so one join per jump table) -> S_{k+1}
+    level_sets: list[DataFrame] = []
+    tk: DataFrame | None = None  # None = all network cells
+    for _ in range(max_rounds):
+        pk = (
+            preds
+            if tk is None
+            else preds.join(tk, preds.src == tk.gid, "left_semi")
+        )
+        junc = (
+            pk.groupBy("dst")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select(F.col("dst").alias("gid"))
+            .localCheckpoint(eager=True)
+        )
+        if junc.isEmpty():
+            break
+        m = junc
+        for Pr in jumps:
+            add = (
+                m.join(Pr, "gid")
+                .filter(F.col("p").isNotNull())
+                .select(F.col("p").alias("gid"))
+            )
+            m = m.unionByName(add).distinct().localCheckpoint(eager=True)
+        tk = m
+        level_sets.append(m)
+    else:
+        raise RuntimeError(
+            f"strahler exceeded {max_rounds} order levels"
+        )
+
+    # ord(c) = 1 + number of level sets containing c
+    cell_ord = edges.select("gid")
+    if level_sets:
+        extra = None
+        for s in level_sets:
+            extra = s if extra is None else extra.unionByName(s)
+        extra = extra.groupBy("gid").agg(F.count("*").alias("extra"))
+        cell_ord = cell_ord.join(extra, "gid", "left")
+    else:
+        cell_ord = cell_ord.withColumn("extra", F.lit(None).cast("long"))
+    cell_ord = cell_ord.select(
+        "gid",
+        (F.lit(1) + F.coalesce("extra", F.lit(0))).cast("long").alias("ord"),
+    )
+
+    # paint: second and last plane movement
+    per_tile = (
+        cell_ord.select(
+            (F.shiftrightunsigned("gid", 32) / T).cast("int").alias("tile_y"),
+            (
+                F.col("gid").bitwiseAND(F.lit(0xFFFFFFFF)) / T
+            ).cast("int").alias("tile_x"),
+            "gid", "ord",
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.collect_list(F.struct("gid", "ord")).alias("m"))
+    )
+    planes = dirs.join(per_tile, ["tile_x", "tile_y"], "left")
+
+    def paint(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for row in pdf.itertuples(index=False):
+                nr, nc = int(row.nrows), int(row.ncols)
+                d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
+                data = np.where(np.isfinite(d.ravel()), 0.0, np.nan)
+                m = row.m if row.m is not None else []
+                if len(m):
+                    pairs = [
+                        (e_["gid"], e_["ord"]) if isinstance(e_, dict)
+                        else (e_[0], e_[1])
+                        for e_ in m
+                    ]
+                    g = np.array([p_[0] for p_ in pairs], dtype=np.int64)
+                    o = np.array([p_[1] for p_ in pairs], dtype=np.float64)
+                    lj = (g >> 32) - np.int64(row.tile_y) * T
+                    li = (g & 0xFFFFFFFF) - np.int64(row.tile_x) * T
+                    data[lj * nc + li] = o
+                out.append({
+                    "tile_x": row.tile_x, "tile_y": row.tile_y,
+                    "level": level, "band": "strahler",
                     "nrows": nr, "ncols": nc, "data": data,
                 })
             yield pd.DataFrame(

@@ -546,7 +546,14 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
     )
     dir_tiles = flow.flow_direction(tiles, 16, level=10)
-    acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark, level=10)
+    acc_tiles = flow.flow_accumulation(
+        dir_tiles, 16, spark, level=10
+    ).localCheckpoint(eager=True)
+    # Strahler stream order over the acc >= 8 network (round 4): orders
+    # are small exact integers, so the micro-unit tile sum is exact
+    strahler_tiles = flow.strahler(
+        dir_tiles, acc_tiles, 16, spark, threshold=8.0, level=10
+    )
     # watershed ids are pit global indices (gy<<32|gx) — too large for
     # the micro-unit integer sum, so its summary is the DISTINCT BASIN
     # COUNT per tile instead (exact integers in both engines)
@@ -560,7 +567,9 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_distinct(ws_valid)).cast("double").alias("tile_sum"),
     )
     return _tile_summary_quantized(
-        out.unionByName(dir_tiles).unionByName(acc_tiles)
+        out.unionByName(dir_tiles)
+        .unionByName(acc_tiles)
+        .unionByName(strahler_tiles)
     ).unionByName(ws_rows)
 
 
@@ -671,6 +680,57 @@ walk(si, sj, ci, cj) AS (
 facc AS MATERIALIZED (
   SELECT ci AS i, cj AS j, CAST(COUNT(*) AS DOUBLE) AS acc
   FROM walk GROUP BY 1, 2
+),
+-- Strahler mirror (engine/flow.strahler, theta = 8): network = cells
+-- with acc >= 8; the unrolled S_k characterization — ord(c) >= k+1 iff
+-- some cell in c's upstream closure (walk gives closure pairs) has
+-- >= 2 immediate network inflows of order >= k; Strahler order is
+-- non-decreasing downstream, which makes the closure form exact.
+-- Max order on this fixture is 4 (asserted by the pytest golden), so
+-- four levels suffice.
+net AS MATERIALIZED (SELECT i, j FROM facc WHERE acc >= 8.0),
+nedges AS MATERIALIZED (
+  SELECT r.i, r.j, r.ri, r.rj
+  FROM recv r JOIN net n ON n.i = r.i AND n.j = r.j
+),
+junc1 AS (SELECT ri, rj FROM nedges GROUP BY ri, rj HAVING COUNT(*) >= 2),
+s2 AS MATERIALIZED (
+  SELECT DISTINCT w.ci AS i, w.cj AS j
+  FROM walk w JOIN junc1 x ON x.ri = w.si AND x.rj = w.sj
+),
+junc2 AS (
+  SELECT e.ri, e.rj FROM nedges e JOIN s2 ON s2.i = e.i AND s2.j = e.j
+  GROUP BY e.ri, e.rj HAVING COUNT(*) >= 2
+),
+s3 AS MATERIALIZED (
+  SELECT DISTINCT w.ci AS i, w.cj AS j
+  FROM walk w JOIN junc2 x ON x.ri = w.si AND x.rj = w.sj
+),
+junc3 AS (
+  SELECT e.ri, e.rj FROM nedges e JOIN s3 ON s3.i = e.i AND s3.j = e.j
+  GROUP BY e.ri, e.rj HAVING COUNT(*) >= 2
+),
+s4 AS MATERIALIZED (
+  SELECT DISTINCT w.ci AS i, w.cj AS j
+  FROM walk w JOIN junc3 x ON x.ri = w.si AND x.rj = w.sj
+),
+junc4 AS (
+  SELECT e.ri, e.rj FROM nedges e JOIN s4 ON s4.i = e.i AND s4.j = e.j
+  GROUP BY e.ri, e.rj HAVING COUNT(*) >= 2
+),
+s5 AS MATERIALIZED (
+  SELECT DISTINCT w.ci AS i, w.cj AS j
+  FROM walk w JOIN junc4 x ON x.ri = w.si AND x.rj = w.sj
+),
+strahl AS MATERIALIZED (
+  SELECT n.i, n.j,
+         1 + (s2.i IS NOT NULL)::INT + (s3.i IS NOT NULL)::INT
+           + (s4.i IS NOT NULL)::INT + (s5.i IS NOT NULL)::INT AS ord
+  FROM net n
+  LEFT JOIN s2 ON s2.i = n.i AND s2.j = n.j
+  LEFT JOIN s3 ON s3.i = n.i AND s3.j = n.j
+  LEFT JOIN s4 ON s4.i = n.i AND s4.j = n.j
+  LEFT JOIN s5 ON s5.i = n.i AND s5.j = n.j
 )
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'slope' AS band,
        COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(CAST(ROUND(v.slope * 1000000) AS BIGINT)), 0) / 1000000.0, 4) AS tile_sum
@@ -710,6 +770,14 @@ SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowacc',
        COUNT(a.acc),
        ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN facc a ON a.i // 16 = t.tx AND a.j // 16 = t.ty
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'strahler',
+       COUNT(f.i),
+       ROUND(COALESCE(SUM(CAST(ROUND(COALESCE(st.ord, 0) * 1000000.0) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t
+LEFT JOIN fdir f ON f.i // 16 = t.tx AND f.j // 16 = t.ty
+LEFT JOIN strahl st ON st.i = f.i AND st.j = f.j
 GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'watershed',
