@@ -229,6 +229,8 @@ def warp_affine(
     out_band: str = "warp",
     level: int = 0,
     method: str = "nearest",
+    max_fanout: float = 4.0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Affine warp / reproject (R2, round 3): output cell (oi, oj)
     samples the source at the continuous coordinate
@@ -248,14 +250,50 @@ def warp_affine(
     (exact for an affine: extrema at corners), JVM `sequence`-exploded
     to the covered source-tile ids; the DATA join ships each source
     tile to exactly the output tiles that need it (fan-out ≈ the area
-    ratio, 1–4 for modest warps), then ONE applyInPandas per output
-    tile gathers vectorized per present source tile. No per-pixel rows
-    ever shuffle; absent/out-of-extent output tiles are simply absent
-    (sparse-raster convention).
+    ratio), then ONE applyInPandas per output tile gathers vectorized
+    per present source tile. No per-pixel rows ever shuffle;
+    absent/out-of-extent output tiles are simply absent (sparse-raster
+    convention).
+
+    Minification guard (round 4, pinned semantics): a strongly
+    minifying affine would gather O(area-ratio) source tiles into one
+    output group — an executor-memory cliff at, say, 32x downscale.
+    When ``|det| = |a·e − b·d|`` (source pixels per output pixel)
+    exceeds ``max_fanout``, the source is pre-reduced through the MEAN
+    overview pyramid (engine/pyramid.block_reduce semantics, the
+    standard warp-with-overviews behavior) to the level whose residual
+    ratio is <= ``max_fanout``, and the warp samples that level with
+    the coeffs rescaled by 2^levels — per-group gather stays bounded
+    at every ratio. ``stats`` (optional dict) records
+    {'det', 'overview_levels', 'residual_det'} for plan tests.
     """
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown warp method: {method}")
     a, b, c, d, e, f = (float(x) for x in coeffs)
+
+    det = abs(a * e - b * d)
+    n_over = 0
+    if max_fanout and np.isfinite(max_fanout):
+        while det / (4.0 ** n_over) > max_fanout:
+            n_over += 1
+    if stats is not None:
+        stats["det"] = det
+        stats["overview_levels"] = n_over
+        stats["residual_det"] = det / (4.0 ** n_over)
+    if n_over:
+        from engine import pyramid
+
+        reduced = tiles
+        for k in range(n_over):
+            reduced = pyramid.build_overview(reduced, T, level - k, "mean")
+        s = float(2 ** n_over)
+        return warp_affine(
+            reduced, T,
+            (a / s, b / s, c / s, d / s, e / s, f / s),
+            out_shape, band=band, out_band=out_band, level=level,
+            method=method, max_fanout=float("inf"),
+        )
+
     H, W = out_shape
     nx_out = (W + T - 1) // T
     ny_out = (H + T - 1) // T

@@ -461,13 +461,16 @@ FROM corners c JOIN areas a ON a.root = c.root
 
 
 def sq_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal span decode plumbing (decoder deliberately a
-    deterministic md5 stub — no media libs in this sandbox; see
+    """Multimodal span decode (REAL decode, round 4 — see
     engine/multimodal.py): the shim-interleaved corpus gets an extra
-    'image' span per doc (md5-derived ref), then the real mapInPandas
-    decode path runs over geo+image media and aggregates per kind.
-    The md5 stub makes the whole path SQL-expressible, so this is a
-    full value-checked oracle row, not rows-only."""
+    'image' and 'audio' span per doc; deterministic REAL media bytes
+    (binary PPM images, RIFF/WAV PCM16 audio) are synthesized per
+    media row, the mapInPandas decoder PARSES them (headers, strides,
+    chunk walks — no knowledge of the generator), and per-kind
+    aggregates of the decoded width/frames/features are hash-checked
+    against an oracle that mirrors the generation+decode arithmetic
+    (md5-seeded dimensions, linear byte/sample ramps summed over a
+    range join)."""
     from engine import multimodal
     from engine.deploy import ensure_shipped
 
@@ -479,8 +482,18 @@ def sq_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("img:"), F.substring(F.md5("doc_id"), 1, 12)).alias("media_ref"),
         F.lit(0).cast("int").alias("offset"),
     )
-    docs = docs.withColumn("spans", F.concat("spans", F.array(img_span)))
-    feats = multimodal.extract_media_features(docs, kinds=("image", "geo"))
+    aud_span = F.struct(
+        F.lit("audio").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("aud:"), F.substring(F.md5("doc_id"), 13, 12)).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    docs = docs.withColumn(
+        "spans", F.concat("spans", F.array(img_span, aud_span))
+    )
+    feats = multimodal.extract_media_features(
+        docs, kinds=("image", "geo", "audio")
+    )
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.col("width").cast("long")).alias("width_sum"),
@@ -498,11 +511,16 @@ def _md5_byte_sql(expr: str, k: int) -> str:
 
 
 def _multimodal_oracle_sql() -> str:
-    bytes_ = [_md5_byte_sql("ref", k) for k in range(8)]
-    # feature element k = float32(byte_k / 255) summed in array order
-    # (matches the stub's float32 cast and Spark's left fold exactly)
-    fsum = " + ".join(
-        f"CAST(CAST({b} AS REAL) / CAST(255.0 AS REAL) AS DOUBLE)" for b in bytes_
+    # md5 bytes of the REF seed the fixture generator
+    # (engine/multimodal.synth_payload); the oracle mirrors the
+    # generation + REAL-decode arithmetic: image bytes are the ramp
+    # (seed + 5m) % 256 over m = 3k + channel, audio samples the ramp
+    # ((seed + 11k) % 4096) - 2048 — both summed via a range join
+    # (DuckDB range() takes no lateral params). float32 casts mirror
+    # the decoder's per-element np.float32 exactly; the per-row fold
+    # order matches the engine's left-assoc array aggregate.
+    b0, b1, b3, b4, b5, b6 = (
+        _md5_byte_sql("ref", k) for k in (0, 1, 3, 4, 5, 6)
     )
     return f"""
 WITH pts AS (
@@ -511,16 +529,68 @@ WITH pts AS (
 ),
 media AS (
   SELECT 'geo' AS kind,
-         'geo:' || printf('%.6f', lat) || ',' || printf('%.6f', lon) AS ref
+         'geo:' || printf('%.6f', lat) || ',' || printf('%.6f', lon) AS ref,
+         CAST(printf('%.6f', lat) AS DOUBLE) AS lat6,
+         CAST(printf('%.6f', lon) AS DOUBLE) AS lon6
   FROM pts
   UNION ALL
-  SELECT 'image', 'img:' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) FROM pts
+  SELECT 'image', 'img:' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+         NULL, NULL
+  FROM pts
+  UNION ALL
+  SELECT 'audio', 'aud:' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12),
+         NULL, NULL
+  FROM pts
+),
+dims AS (
+  SELECT kind, ref, lat6, lon6,
+         4 + {b0} % 13 AS w, 3 + {b1} % 11 AS h, {b3} AS iseed,
+         64 + {b4} % 64 AS n, {b5} * 256 + {b6} AS aseed
+  FROM media
+),
+rng AS (SELECT k FROM range(0, 256) t(k)),
+sums AS (
+  SELECT d.kind, d.ref, d.lat6, d.lon6, d.w, d.h, d.n,
+         SUM(CASE WHEN d.kind = 'image' AND r.k < d.w * d.h
+             THEN (d.iseed + 15 * r.k) % 256 END) AS sr,
+         SUM(CASE WHEN d.kind = 'image' AND r.k < d.w * d.h
+             THEN (d.iseed + 15 * r.k + 5) % 256 END) AS sg,
+         SUM(CASE WHEN d.kind = 'image' AND r.k < d.w * d.h
+             THEN (d.iseed + 15 * r.k + 10) % 256 END) AS sb,
+         SUM(CASE WHEN d.kind = 'audio' AND r.k < d.n
+             THEN ((d.aseed + 11 * r.k) % 4096) - 2048 END) AS ss
+  FROM dims d JOIN rng r ON r.k < CASE WHEN d.kind = 'image' THEN d.w * d.h
+                                       WHEN d.kind = 'audio' THEN d.n
+                                       ELSE 1 END
+  GROUP BY ALL
+),
+rowfeat AS (
+  SELECT kind,
+         CASE kind WHEN 'image' THEN w WHEN 'audio' THEN 8000 ELSE 0 END
+           AS width,
+         CASE kind WHEN 'audio' THEN n ELSE 1 END AS n_frames,
+         CASE kind
+           WHEN 'image' THEN
+             CAST(CAST((CAST(sr AS DOUBLE) / (w * h)) / 255.0 AS REAL) AS DOUBLE)
+             + CAST(CAST((CAST(sg AS DOUBLE) / (w * h)) / 255.0 AS REAL) AS DOUBLE)
+             + CAST(CAST((CAST(sb AS DOUBLE) / (w * h)) / 255.0 AS REAL) AS DOUBLE)
+             + CAST(CAST(w / 256.0 AS REAL) AS DOUBLE)
+             + CAST(CAST(h / 256.0 AS REAL) AS DOUBLE)
+           WHEN 'audio' THEN
+             CAST(CAST((CAST(ss AS DOUBLE) / n) / 2048.0 AS REAL) AS DOUBLE)
+             + CAST(CAST(n / 4096.0 AS REAL) AS DOUBLE)
+             + CAST(CAST(8000 / 48000.0 AS REAL) AS DOUBLE)
+           ELSE
+             CAST(CAST(lat6 / 90.0 AS REAL) AS DOUBLE)
+             + CAST(CAST(lon6 / 180.0 AS REAL) AS DOUBLE)
+         END AS feat
+  FROM sums
 )
 SELECT kind, COUNT(*) AS n_media,
-       CAST(SUM(64 + {_md5_byte_sql("ref", 0)} * 8) AS BIGINT) AS width_sum,
-       CAST(SUM(1 + {_md5_byte_sql("ref", 2)} % 32) AS BIGINT) AS frames_sum,
-       ROUND(SUM(0.0 + {fsum}), 4) AS feat_sum
-FROM media GROUP BY kind
+       CAST(SUM(width) AS BIGINT) AS width_sum,
+       CAST(SUM(n_frames) AS BIGINT) AS frames_sum,
+       ROUND(SUM(feat), 4) AS feat_sum
+FROM rowfeat GROUP BY kind
 """
 
 

@@ -300,3 +300,45 @@ def test_warp_affine_bilinear_golden(spark):
         np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_warp_affine_minification_routes_through_pyramid(spark):
+    """A 16x-per-axis minification (det = 256 source pixels per output
+    pixel) must NOT gather ~256 source tiles into one output group
+    (r3 VERDICT: executor-memory cliff). The warp pre-reduces through
+    the mean overview pyramid to the level whose residual ratio is
+    <= max_fanout and samples there — golden: 3x block_reduce('mean')
+    then the brute warp with coeffs rescaled by 8."""
+    import numpy as np
+
+    from engine import fixtures, resample
+    from engine.pyramid import block_reduce
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    stats: dict = {}
+    got = _plane(
+        resample.warp_affine(
+            tiles, 16, (16, 0, 0, 0, 16, 0), (4, 4), stats=stats
+        ),
+        16, 4, 4,
+    )
+    # bounded per-group gather: residual source-per-output ratio <= 4
+    assert stats == {"det": 256.0, "overview_levels": 3, "residual_det": 4.0}
+    red = arr
+    for _ in range(3):
+        red = block_reduce(red, "mean")
+    want = brute_warp(red, (2, 0, 0, 0, 2, 0), (4, 4))
+    assert np.isfinite(want).any()
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9)
+    )
+    # modest warps never reroute: the existing goldens stay bit-exact
+    stats2: dict = {}
+    resample.warp_affine(
+        tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56), stats=stats2
+    )
+    assert stats2["overview_levels"] == 0
