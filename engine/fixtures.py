@@ -200,6 +200,29 @@ def dem_arith(size: int = 64) -> np.ndarray:
     return arr
 
 
+def dem_pitted(size: int = 48) -> np.ndarray:
+    """SQL-expressible pitted DEM for hydrological conditioning
+    (engine/fill.py): an inclined plane + deterministic hash roughness
+    with two carved parabolic depressions, no nodata. Every term is a
+    polynomial / GREATEST, so the sq_terrain 'fill' oracle regenerates
+    it bit-for-bit (left-associative +/- order pinned below)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    i = xx.astype(np.float64)
+    j = yy.astype(np.float64)
+    rough = (
+        (xx.astype(np.int64) * 2654435761 + yy.astype(np.int64) * 40503 + 17)
+        % 2**32
+    ).astype(np.float64) / 4294967296.0 * 0.2
+    d2a = (i - 12.0) * (i - 12.0) + (j - 14.0) * (j - 14.0)
+    d2b = (i - 33.0) * (i - 33.0) + (j - 30.0) * (j - 30.0)
+    # pinned order: ((((0.05i + 0.04j) + rough) - pitA) - pitB)
+    arr = 0.05 * i + 0.04 * j
+    arr = arr + rough
+    arr = arr - 0.08 * np.maximum(0.0, 36.0 - d2a)
+    arr = arr - 0.05 * np.maximum(0.0, 81.0 - d2b)
+    return arr
+
+
 TILES_SCHEMA_DDL = (
     "tile_x int, tile_y int, level int, band string, "
     "nrows int, ncols int, data array<double>"

@@ -597,9 +597,11 @@ FROM rowfeat GROUP BY kind
 def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     """Terrain surface in one driver row: slope / aspect / hillshade
     (Horn 3x3), the round-3 TPI / TRI / roughness / curvature bands,
-    PLUS hydrology — D8 flow direction and the distributed inter-tile
-    flow ACCUMULATION fixpoint (engine/flow.py) — over the arithmetic
-    DEM fixture; per-tile quantized summary. Pinned semantics in the
+    PLUS hydrology — D8 flow direction, the distributed inter-tile
+    flow ACCUMULATION fixpoint, watershed, Strahler (engine/flow.py),
+    and the round-4 conditioning pipeline (engine/fill.py: pitted DEM
+    -> bounded Priority-Flood fill -> D8 -> accumulation, bands
+    'fill'/'fillacc') — per-tile quantized summary. Pinned semantics in the
     terrain/flow module docstrings; the oracle regenerates the DEM,
     differentiates it with a 9-offset neighbor join, and replays the
     flow paths with a recursive CTE."""
@@ -636,10 +638,31 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         F.size(ws_valid).cast("long").alias("n_valid"),
         F.size(F.array_distinct(ws_valid)).cast("double").alias("tile_sum"),
     )
+    # hydrological conditioning (round 4, engine/fill.py): pitted DEM
+    # -> bounded Priority-Flood fill -> D8 -> accumulation, end to end
+    # driver-visible. cap = T = 16 on the 48x48 fixture makes every
+    # halo window cover the raster, so the bounded fill is exact and
+    # the oracle can mirror the GLOBAL minimax fixpoint (Jacobi
+    # relaxation in a recursive CTE).
+    from engine import fill
+
+    pit = fixtures.dem_pitted(size=48)
+    pit_tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(pit, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    fill_tiles = fill.fill_depressions(
+        pit_tiles, 16, cap=16, level=10
+    ).localCheckpoint(eager=True)
+    facc_tiles = flow.flow_accumulation(
+        flow.flow_direction(fill_tiles, 16, level=10), 16, spark, level=10
+    ).withColumn("band", F.lit("fillacc"))
     return _tile_summary_quantized(
         out.unionByName(dir_tiles)
         .unionByName(acc_tiles)
         .unionByName(strahler_tiles)
+        .unionByName(fill_tiles)
+        .unionByName(facc_tiles)
     ).unionByName(ws_rows)
 
 
@@ -801,7 +824,72 @@ strahl AS MATERIALIZED (
   LEFT JOIN s3 ON s3.i = n.i AND s3.j = n.j
   LEFT JOIN s4 ON s4.i = n.i AND s4.j = n.j
   LEFT JOIN s5 ON s5.i = n.i AND s5.j = n.j
-)
+),
+-- hydrological conditioning mirror (engine/fill.py, round 4): the
+-- pitted DEM (fixtures.dem_pitted — CAST to DOUBLE: bare 0.05 * i is
+-- DECIMAL math in DuckDB and diverges at the ulp), then the fill as
+-- the minimax fixpoint F = max(z, min over N8 of F) by Jacobi
+-- relaxation — seeds (raster edge; the fixture has no nodata) fixed at
+-- z, interiors start at 1e18, one sweep per recursion step. 96 sweeps:
+-- convergence on this fixture is ~40 (information moves one cell per
+-- sweep along the spill path), margin 2x. Values are exact — the
+-- fixpoint only compares/copies z values, no arithmetic.
+pdem AS MATERIALIZED (
+  SELECT i, j,
+         0.05 * CAST(i AS DOUBLE) + 0.04 * CAST(j AS DOUBLE)
+         + ((i * 2654435761 + j * 40503 + 17) % 4294967296) / 4294967296.0 * 0.2
+         - 0.08 * GREATEST(0.0, 36.0 - ((i - 12.0) * (i - 12.0) + (j - 14.0) * (j - 14.0)))
+         - 0.05 * GREATEST(0.0, 81.0 - ((i - 33.0) * (i - 33.0) + (j - 30.0) * (j - 30.0))) AS z
+  FROM (SELECT x.i AS i, y.j AS j FROM range(0, 48) x(i), range(0, 48) y(j))
+),
+off9(dx, dy) AS (VALUES
+  (0,0),(-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1)
+),
+relax(it, i, j, f) AS (
+  SELECT 0, i, j,
+         CASE WHEN i = 0 OR j = 0 OR i = 47 OR j = 47 THEN z ELSE 1e18 END
+  FROM pdem
+  UNION ALL
+  SELECT r.it + 1, c.i, c.j, MIN(GREATEST(c.z, r.f))
+  FROM relax r JOIN off9 o ON TRUE
+  JOIN pdem c ON c.i = r.i + o.dx AND c.j = r.j + o.dy
+  WHERE r.it < 96
+  GROUP BY r.it + 1, c.i, c.j
+),
+fz AS MATERIALIZED (SELECT i, j, f FROM relax WHERE it = 96),
+-- D8 + accumulation on the FILLED plane (same pinned codes/tie rule;
+-- filled lakes are flats -> code 0, exactly as the engine computes)
+pfdir AS MATERIALIZED (
+  SELECT c.i, c.j, COALESCE(r.code, 0) AS code
+  FROM fz c LEFT JOIN (
+    SELECT i, j, code FROM (
+      SELECT c2.i AS i, c2.j AS j, o.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY c2.i, c2.j
+               ORDER BY (c2.f - n.f) / o.dist DESC, o.code ASC
+             ) AS rn
+      FROM fz c2 JOIN d8off o ON TRUE
+      JOIN fz n ON n.i = c2.i + o.di AND n.j = c2.j + o.dj
+      WHERE (c2.f - n.f) / o.dist > 0
+    ) WHERE rn = 1
+  ) r ON r.i = c.i AND r.j = c.j
+),
+precv AS MATERIALIZED (
+  SELECT f.i, f.j, f.i + o.di AS ri, f.j + o.dj AS rj
+  FROM pfdir f JOIN d8off o ON o.code = f.code
+  WHERE f.code > 0
+),
+pwalk(si, sj, ci, cj) AS (
+  SELECT i, j, i, j FROM pfdir
+  UNION ALL
+  SELECT w.si, w.sj, r.ri, r.rj
+  FROM pwalk w JOIN precv r ON r.i = w.ci AND r.j = w.cj
+),
+pfacc AS MATERIALIZED (
+  SELECT ci AS i, cj AS j, CAST(COUNT(*) AS DOUBLE) AS acc
+  FROM pwalk GROUP BY 1, 2
+),
+ptiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 3) a(tx), range(0, 3) b(ty))
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'slope' AS band,
        COUNT(v.slope) AS n_valid, ROUND(COALESCE(SUM(CAST(ROUND(v.slope * 1000000) AS BIGINT)), 0) / 1000000.0, 4) AS tile_sum
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
@@ -858,6 +946,18 @@ FROM tiles0 t LEFT JOIN (
   FROM walk w JOIN fdir f ON f.i = w.ci AND f.j = w.cj
   WHERE f.code = 0
 ) v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(pt.tx AS INT), CAST(pt.ty AS INT), 'fill',
+       COUNT(fz.f),
+       ROUND(COALESCE(SUM(CAST(ROUND(fz.f * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM ptiles pt LEFT JOIN fz ON fz.i // 16 = pt.tx AND fz.j // 16 = pt.ty
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(pt.tx AS INT), CAST(pt.ty AS INT), 'fillacc',
+       COUNT(a.acc),
+       ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM ptiles pt LEFT JOIN pfacc a ON a.i // 16 = pt.tx AND a.j // 16 = pt.ty
+GROUP BY 1, 2
 """
 
 
