@@ -100,7 +100,13 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"no snapshot for table {self.dir}")
-        dirs = [p["path"] for p in snap["partitions"]]
+        # zero-row partitions (expected_parts contract) carry no data dir
+        dirs = [p["path"] for p in snap["partitions"] if p["path"]]
+        if not dirs:
+            raise FileNotFoundError(
+                f"snapshot {snap['snapshot_id']} of {self.dir} has no data "
+                "files (every partition is zero-row)"
+            )
         df = (
             spark.read.option("basePath", os.path.join(self.data_dir, snap["stage_key"]))
             .parquet(*dirs)
@@ -143,6 +149,7 @@ class LakeTable:
         stage_key: str,
         lineage: dict | None = None,
         code_version: str = "v1",
+        expected_parts: list | None = None,
     ) -> dict:
         """Commit `df` as a new snapshot, resuming from any previously
         WAL-committed partitions of the same stage_key. Returns the
@@ -160,13 +167,19 @@ class LakeTable:
         code_version) matches this call — the lineage guard replaces
         the old fresh-recount cross-check.
 
-        Known limit (documented, r3): partitions whose stage output is
-        ZERO rows write no directory, so they get no WAL entry and
-        their (empty) lineage re-executes on every resume — recording
-        them would need a distinct() over `df`, i.e. a second compute
-        of the stage, which this protocol exists to avoid. The rerun
-        is idempotent and produces no data, so only the recompute cost
-        is at stake."""
+        Zero-row partitions (r4, closing the r3 documented limit): a
+        partition whose stage output is ZERO rows writes no directory,
+        so layout discovery alone cannot distinguish "computed, empty"
+        from "never a partition". Callers that know their partition
+        DOMAIN pass ``expected_parts`` (canonical string values): every
+        expected partition absent from the written layout gets a
+        zero-row WAL entry (files=[], checksum '0' — footer-verify of
+        no files is trivially 0 == 0), and a resume whose expected set
+        is fully WAL-covered SKIPS the Spark compute entirely. Without
+        ``expected_parts`` the old contract stands: empty partitions
+        re-execute their (idempotent, zero-output) lineage per resume.
+        A written partition OUTSIDE ``expected_parts`` is a caller
+        contract violation and raises."""
         lin = {
             "inputs": (lineage or {}).get("inputs", []),
             "params": (lineage or {}).get("params", {}),
@@ -180,6 +193,15 @@ class LakeTable:
         skipped = len(done)
         stage_data = os.path.join(self.data_dir, stage_key)
         os.makedirs(stage_data, exist_ok=True)
+        expected = (
+            None if expected_parts is None
+            else sorted(str(p) for p in expected_parts)
+        )
+        if expected is not None and set(expected) <= set(done):
+            # fully WAL-covered resume: no compute at all
+            return self._commit_snapshot(
+                stage_key, partition_col, done, skipped, pending_n=0
+            )
         tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
         w = df
         if done:
@@ -256,6 +278,46 @@ class LakeTable:
                 )
                 done[part] = entry
         shutil.rmtree(tmp, ignore_errors=True)
+        if expected is not None:
+            extra = sorted(set(pending) - set(expected))
+            if extra:
+                raise ValueError(
+                    f"stage {stage_key!r} wrote partitions outside "
+                    f"expected_parts: {extra[:5]}"
+                )
+            from urllib.parse import quote
+
+            for part in expected:
+                if part not in done:
+                    entry = {
+                        "part": part,
+                        "path": None,
+                        "files": [],
+                        "row_count": 0,
+                        "checksum": "0",
+                        "lineage": lin,
+                        "committed_at": time.time(),
+                    }
+                    _atomic_write_json(
+                        os.path.join(
+                            self._wal_dir(stage_key),
+                            f"{quote(part, safe='')}.json",
+                        ),
+                        entry,
+                    )
+                    done[part] = entry
+        return self._commit_snapshot(
+            stage_key, partition_col, done, skipped, pending_n=len(pending)
+        )
+
+    def _commit_snapshot(
+        self,
+        stage_key: str,
+        partition_col: str,
+        done: dict[str, dict],
+        skipped: int,
+        pending_n: int,
+    ) -> dict:
         parent = self.latest_snapshot_id()
         sid = (parent or 0) + 1
         # content-stable identity: equal data (per-partition checksums)
@@ -284,7 +346,7 @@ class LakeTable:
                 "partitions": [done[p] for p in sorted(done)],
                 "total_rows": sum(e["row_count"] for e in done.values()),
                 "skipped_partitions": skipped,
-                "computed_partitions": len(pending),
+                "computed_partitions": pending_n,
                 "created_at": time.time(),
             }
             path = os.path.join(self.manifest_dir, f"snapshot-{sid}.json")

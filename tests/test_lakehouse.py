@@ -62,6 +62,41 @@ def test_rerun_skips_everything(spark, docs, tmp_path):
     assert snap2["parent_id"] == 1 and snap2["snapshot_id"] == 2
 
 
+def test_zero_row_partition_wal_and_full_skip(spark, docs, tmp_path):
+    """expected_parts contract (r4, closing the r3 documented limit):
+    a declared partition with zero stage rows gets a zero-row WAL
+    entry, and a fully WAL-covered resume skips the Spark compute
+    entirely (df is never touched — None proves it)."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    dom = [str(i) for i in range(9)]  # part 8 produces no rows
+    snap = tbl.write_stage(
+        spark, docs, "part_id", "ingest", {"inputs": ["gen"]},
+        expected_parts=dom,
+    )
+    assert snap["total_rows"] == 600
+    parts = {e["part"]: e for e in snap["partitions"]}
+    assert parts["8"]["row_count"] == 0 and parts["8"]["files"] == []
+    assert all(tbl.verify_snapshot().values())
+    before = file_state(str(tmp_path))
+    # resume: full WAL coverage -> no compute at all
+    snap2 = tbl.write_stage(
+        spark, None, "part_id", "ingest", {"inputs": ["gen"]},
+        expected_parts=dom,
+    )
+    after = file_state(str(tmp_path))
+    assert before == after
+    assert snap2["computed_partitions"] == 0
+    assert snap2["skipped_partitions"] == 9
+    assert snap2["content_hash"] == snap["content_hash"]
+    assert tbl.read(spark).count() == 600
+    # a written partition outside the declared domain fails loudly
+    with pytest.raises(ValueError, match="outside expected_parts"):
+        tbl.write_stage(
+            spark, docs, "part_id", "ingest2", {"inputs": ["gen"]},
+            expected_parts=["0", "1"],
+        )
+
+
 def test_crash_recovery_partial_wal(spark, docs, tmp_path):
     """Simulate a crash after 5 of 8 partitions: remove 3 WAL entries +
     their data → rerun recomputes exactly those, results identical."""
