@@ -50,7 +50,8 @@ if _REPO not in sys.path:
 _HEADLINE_KEYS = (
     "focal_circle_r7_2048tiles",
     "pipeline_docs_to_stats",
-    "pip_join_4m_points",
+    "pipeline_typed_docs_to_stats",
+    "pip_join_128m_points",
 )
 
 
@@ -75,7 +76,7 @@ def main() -> None:
     fallback = {"per_sec": 0.0, "sec": -1.0, "tiles": 0, "rows": 0,
                 "in_rows": 0, "docs": 0, "out_tiles": 0}
     legs: dict[str, dict] = {}
-    for leg in ("focal", "pipeline", "pip"):
+    for leg in ("focal", "pipeline", "pipet", "pip"):
         try:
             r = bench_scaling._submit_one(  # noqa: SLF001
                 cpus, scale, scratch, zip_path, legs=(leg,), preset="bench"
@@ -86,7 +87,8 @@ def main() -> None:
             legs[leg] = dict(fallback)
     queries["focal_circle_r7_2048tiles"] = round(legs["focal"]["sec"], 3)
     queries["pipeline_docs_to_stats"] = round(legs["pipeline"]["sec"], 3)
-    queries["pip_join_4m_points"] = round(legs["pip"]["sec"], 3)
+    queries["pipeline_typed_docs_to_stats"] = round(legs["pipet"]["sec"], 3)
+    queries["pip_join_128m_points"] = round(legs["pip"]["sec"], 3)
 
     # --- driver-contract queries at sf_dir ---------------------------------
     import __spark_entry__ as entrymod
@@ -117,7 +119,7 @@ def main() -> None:
         "queries": {
             "focal_circle_r7_2048tiles": queries["focal_circle_r7_2048tiles"],
             "pipeline_docs_to_stats": queries["pipeline_docs_to_stats"],
-            "pip_join_4m_points": queries["pip_join_4m_points"],
+            "pip_join_128m_points": queries["pip_join_128m_points"],
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
@@ -125,8 +127,13 @@ def main() -> None:
         "throughput": {
             "focal_tiles_per_sec": round(legs["focal"]["per_sec"], 2),
             "pipeline_docs_per_sec": round(legs["pipeline"]["per_sec"], 2),
+            "pipeline_typed_docs_per_sec": round(legs["pipet"]["per_sec"], 2),
             "pip_join_rows_per_sec": round(legs["pip"]["per_sec"], 2),
         },
+        # the full composite's 2->8-core ratio is bounded by a measured
+        # single-box DRAM/allocation ceiling in the span-parse stage —
+        # evidence table + the typed-ingest isolation leg:
+        "pipeline_note": "BENCH/BASELINE.md (single-box ceiling)",
         # sum/count over the CONTRACT queries only — the three headline
         # legs are excluded from both (they have their own throughput
         # fields above; r3 ADVICE: the sum used to include them)

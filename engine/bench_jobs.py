@@ -100,6 +100,14 @@ def ensure_inputs(
     path = os.path.join(scratch, f"bench_docs_{n_docs}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), path)
+    typed = os.path.join(scratch, f"bench_docs_typed_{n_docs}")
+    if not os.path.exists(os.path.join(typed, "_SUCCESS")):
+        _materialize(
+            udfs.geocode_cols(spark.read.parquet(path)).select(
+                "doc_id", "lat", "lon"
+            ),
+            typed,
+        )
 
 
 def leg_focal(
@@ -142,6 +150,46 @@ def leg_pipeline(
     docs = spark.read.parquet(path)
     t0 = time.perf_counter()
     pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    out = tiling.apply_focal(
+        tiles, r, "circle", ["mean"], T, level=level, wrap_nx=(2**level) // T
+    )
+    n_tiles = out.count()
+    secs = time.perf_counter() - t0
+    return n_docs, n_tiles, secs
+
+
+def leg_pipeline_typed(
+    spark: SparkSession,
+    scratch: str,
+    n_docs: int = 1_000_000,
+    level: int = 12,
+    T: int = 64,
+    r: int = 7,
+) -> tuple[int, int, float]:
+    """Typed-ingest pipeline: the same encode → rasterize → focal chain
+    as leg_pipeline, but reading a COMMITTED typed table (doc_id, lat,
+    lon doubles — parsed once at ingest, the lakehouse layout real
+    pipelines query repeatedly). Isolates the engine stages from the
+    span-string parse, whose JVM allocation rate is the measured
+    single-box ceiling of the full composite (BENCH/BASELINE.md).
+    Returns (docs, out_tiles, seconds)."""
+    path = os.path.join(scratch, f"bench_docs_typed_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = os.path.join(scratch, f"bench_docs_{n_docs}")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            _materialize(
+                fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), src
+            )
+        _materialize(
+            udfs.geocode_cols(spark.read.parquet(src)).select(
+                "doc_id", "lat", "lon"
+            ),
+            path,
+        )
+    pts0 = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    pts = udfs.with_cell_and_tile(pts0, level, T)
     tiles = tiling.rasterize(pts, T, level, stat="count")
     out = tiling.apply_focal(
         tiles, r, "circle", ["mean"], T, level=level, wrap_nx=(2**level) // T

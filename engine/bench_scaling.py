@@ -56,18 +56,28 @@ def _scratch() -> str:
 
 
 # leg input sizes per preset: "scaling" = the N-vs-4N harness (big,
-# noise-resistant); "bench" = the per-round driver bench (smaller)
+# noise-resistant); "bench" = the per-round driver bench. r4: the bench
+# pip leg was 4M points ≈ 1 s wall — pure scheduler noise (the r3
+# headline 'dropped' 34% inside the same-code band); it now runs the
+# SAME 128M-point input as the scaling leg (≥30 s), so the recorded
+# rows/s is comparable to BENCH/scaling.json within host drift. Docs
+# likewise 1M → 8M (the geometry the pair-efficiency study used).
 PRESETS = {
     "scaling": {"ny": 48, "pip_points": 128_000_000, "pipe_docs": 32_000_000},
-    "bench": {"ny": 32, "pip_points": 4_000_000, "pipe_docs": 1_000_000},
+    "bench": {"ny": 32, "pip_points": 128_000_000, "pipe_docs": 8_000_000},
 }
+
+# every measured leg; "pipet" (typed-ingest pipeline, r4) isolates the
+# engine stages from the span-string parse whose allocation rate is the
+# full composite's single-box ceiling (see BASELINE.md)
+ALL_LEGS = ("focal", "pip", "pipeline", "pipet")
 
 
 def run_legs(
     cores: int,
     scale: float,
     scratch: str,
-    legs: tuple[str, ...] = ("focal", "pip", "pipeline"),
+    legs: tuple[str, ...] = ALL_LEGS,
     preset: str = "scaling",
 ) -> dict:
     from engine import bench_jobs
@@ -107,6 +117,12 @@ def run_legs(
         )
         out["pipeline"] = {"docs": n_docs, "sec": s_pipe, "per_sec": n_docs / s_pipe,
                            "out_tiles": n_ptiles}
+    if "pipet" in legs:
+        n_docs, n_ptiles, s_pt = steady(
+            lambda: bench_jobs.leg_pipeline_typed(spark, scratch, n_docs=int(sz["pipe_docs"] * scale))
+        )
+        out["pipet"] = {"docs": n_docs, "sec": s_pt, "per_sec": n_docs / s_pt,
+                        "out_tiles": n_ptiles}
     return out
 
 
@@ -213,7 +229,7 @@ def orchestrate(repeats: int, scale: float) -> dict:
     # symmetric by construction.
     n, n4 = LEVELS
     runs: dict[int, list] = {n: [], n4: []}
-    pair_eff: dict[str, list[float]] = {leg: [] for leg in ("focal", "pip", "pipeline")}
+    pair_eff: dict[str, list[float]] = {leg: [] for leg in ALL_LEGS}
     for i in range(repeats):
         pair = {}
         for cores in (n, n4):
@@ -232,19 +248,18 @@ def orchestrate(repeats: int, scale: float) -> dict:
               + ", ".join(f"{k}={v[-1]:.3f}" for k, v in pair_eff.items()),
               file=sys.stderr)
     levels = {
-        cores: {leg: _median_leg(runs[cores], leg)
-                for leg in ("focal", "pip", "pipeline")}
+        cores: {leg: _median_leg(runs[cores], leg) for leg in ALL_LEGS}
         for cores in LEVELS
     }
 
     eff = {leg: statistics.median(v) for leg, v in pair_eff.items()}
     eff_block = {
         leg: levels[n4][leg]["per_sec"] / (4.0 * levels[n][leg]["per_sec"])
-        for leg in ("focal", "pip", "pipeline")
+        for leg in ALL_LEGS
     }
     eff_best = {
         leg: levels[n4][leg]["per_sec_best"] / (4.0 * levels[n][leg]["per_sec_best"])
-        for leg in ("focal", "pip", "pipeline")
+        for leg in ALL_LEGS
     }
     result = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -281,7 +296,8 @@ def write_reports(result: dict) -> None:
             f"| local[{cores}] pinned to {cores} CPUs ({n_runs} runs) | {l['focal']['per_sec']:.1f} "
             f"({l['focal']['tiles']} tiles / {l['focal']['sec']:.1f}s) "
             f"| {l['pip']['per_sec']:.0f} ({l['pip']['rows']} rows / {l['pip']['sec']:.1f}s) "
-            f"| {l['pipeline']['per_sec']:.0f} ({l['pipeline']['docs']} docs / {l['pipeline']['sec']:.1f}s) |"
+            f"| {l['pipeline']['per_sec']:.0f} ({l['pipeline']['docs']} docs / {l['pipeline']['sec']:.1f}s) "
+            f"| {l['pipet']['per_sec']:.0f} ({l['pipet']['docs']} docs / {l['pipet']['sec']:.1f}s) |"
         )
     # the two BINDING metrics are BASELINE.json's: tiles/sec (focal) and
     # join rows/sec (pip); the pipeline leg is our own informational
@@ -318,8 +334,8 @@ consumes ~2N cores, which distorts the N-vs-4N ratio. Machine: 32
 cores, local mode (sandbox realization of the "N and 4N cores"
 criterion per the driver instruction).
 
-| parallelism | focal tiles/sec (circle r=7, T=256) | PIP join rows/sec | pipeline docs/sec |
-|---|---|---|---|
+| parallelism | focal tiles/sec (circle r=7, T=256) | PIP join rows/sec | pipeline docs/sec | typed-ingest pipeline docs/sec |
+|---|---|---|---|---|
 {chr(10).join(rows)}
 
 ## Scaling efficiency — throughput(4N) / (4 x throughput(N))
@@ -329,33 +345,44 @@ criterion per the driver instruction).
 | focal (tiles/sec) — BASELINE metric | **{eff["focal"]:.3f}** | {eff_pairs.get("focal", [])} | {eff_blk["focal"]:.3f} | {eff_b["focal"]:.3f} | >= 0.8 |
 | PIP join (rows/sec) — BASELINE metric | **{eff["pip"]:.3f}** | {eff_pairs.get("pip", [])} | {eff_blk["pip"]:.3f} | {eff_b["pip"]:.3f} | >= 0.8 |
 | pipeline (docs/sec) — informational composite | {eff["pipeline"]:.3f} | {eff_pairs.get("pipeline", [])} | {eff_blk["pipeline"]:.3f} | {eff_b["pipeline"]:.3f} | (reported) |
+| typed-ingest pipeline (docs/sec) — informational | {eff["pipet"]:.3f} | {eff_pairs.get("pipet", [])} | {eff_blk["pipet"]:.3f} | {eff_b["pipet"]:.3f} | (reported) |
 
 Criterion over the two BASELINE.json metrics (tiles/sec, join rows/sec):
 (pairwise medians) {"MET" if ok else "NOT MET"}; (best-of) {"MET" if ok_b else "NOT MET"}:
 {result["criterion"]}
 
+## The pipeline composite and the single-box ceiling (r3–r4 evidence)
+
 The pipeline leg is a five-stage end-to-end composite (string-parse
 scan → geocode → encode → rasterize → focal) we added beyond the
 BASELINE metrics. Round-3 diagnosis (pinned interleaved pairs, fresh
-JVM per run, 2026-08-18): the leg has a hard per-BOX throughput
-ceiling of ~1.05M docs/s that is INDEPENDENT of core count — 2 pinned
-cores already reach ~0.60M docs/s at the 32M-doc scale, so 4×2c
-(2.4M/s) exceeds what the box can serve and the 2→8-core ratio cannot
-reach 0.8 no matter the plan. The ceiling is DRAM traffic + JVM
-allocation rate (span-string parse in the geocode stage), a shared
-single-box resource; on a real cluster each executor brings its own
-memory bus, which is exactly what this proxy cannot reproduce. What
-WAS fixable we fixed and kept (round 3): the rasterize partials now
-cross Arrow as ONE packed int64 column and ship int32 counts (−33%
-shuffle bytes; 8M-doc pair efficiency 0.50 → 0.62, absolute
-throughput +10%). Geometry sweeps (level 12/T=64 vs level 14/T=256 =
-16× more focal compute per byte) confirm the ceiling: the
-compute-dense variant scales better at small inputs (0.69 vs 0.62 at
-8M docs) but saturates the same ~1.05M docs/s ceiling at 32M
-(pairwise 0.26–0.44), while level 12's higher cell-collapse keeps
-absolute docs/s highest — so the leg keeps the level-12 geometry.
-Neither binding metric shares this profile: focal and PIP are
-compute-dense per byte and meet ≥0.8 on the same protocol.
+JVM per run): the leg has a hard per-BOX throughput ceiling of ~1.6–1.7M
+docs/s that stops tracking core count early — 2 pinned cores already
+reach ~0.60M docs/s at the 32M-doc scale, so 4×2c (2.4M/s) exceeds
+what the box can serve and the 2→8-core ratio cannot reach 0.8 no
+matter the plan. Evidence trail:
+
+| probe | result | reading |
+|---|---|---|
+| 2 pinned cores, 32M docs | ~0.60M docs/s | 2c alone ≈ 37% of the whole box's best — not CPU-bound |
+| 8 pinned cores, 32M docs | ~1.6M docs/s | +4× cores → +2.7×; the box, not the cores, saturates |
+| packed int64 partials (r3 fix) | +10% absolute, pair eff 0.50→0.62 at 8M | shuffle bytes were PART of the wall — fixed and kept |
+| 16× more compute/byte geometry (level 14/T=256) | better small-input scaling (0.69 vs 0.62 at 8M), same ceiling at 32M | the wall is upstream of the focal compute |
+| typed-ingest variant (r4, parse removed) | this run: median {eff["pipet"]:.3f} | isolates the parse stage — see below |
+
+The ceiling is DRAM traffic + JVM allocation rate in the span-string
+parse (every doc materializes its spans array of structs and the
+media_ref strings before one geo ref is extracted) — a shared
+single-box resource. On a real N-vs-4N EXECUTOR cluster each executor
+brings its own memory bus and allocator, so the parse stage scales
+with executors; the 2-core leg already commanding >a third of the
+box's ceiling is precisely the signature this proxy cannot avoid. The
+r4 typed-ingest leg ("pipet": identical encode → rasterize → focal
+chain reading a committed doc_id/lat/lon table — the layout real
+pipelines query after parsing ONCE at ingest) removes that stage;
+its ratio above is the composite's scaling with the box-bound stage
+taken out. Neither binding metric shares this profile: focal and PIP
+are compute-dense per byte and meet ≥0.8 on the same protocol.
 
 Best-of is reported alongside the median because the host VM exhibits
 intermittent multi-second noise windows (per-run spreads are recorded
@@ -376,7 +403,7 @@ def main() -> None:
                     default=float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1.0")))
     ap.add_argument("--scratch", default=None)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--legs", default="focal,pip,pipeline")
+    ap.add_argument("--legs", default=",".join(ALL_LEGS))
     ap.add_argument("--preset", default="scaling", choices=sorted(PRESETS))
     args = ap.parse_args()
 
