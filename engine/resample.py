@@ -36,7 +36,73 @@ from pyspark.sql import functions as F
 
 from engine import tiling
 
-__all__ = ["bilinear_2x", "sample_bilinear", "upsample_bilinear", "warp_affine"]
+__all__ = [
+    "bilinear_2x",
+    "inverse_mercator_to_platecarree",
+    "sample_bilinear",
+    "upsample_bilinear",
+    "warp_affine",
+    "warp_transform",
+]
+
+
+def _sample_from_rows(
+    pdf: pd.DataFrame, p_i: np.ndarray, p_j: np.ndarray, method: str, T: int
+) -> np.ndarray:
+    """Sample source-pixel coordinates (p_i, p_j) from the gathered
+    source-tile rows of one output group — the shared kernel of
+    warp_affine and warp_transform. NaN coordinates (out of the
+    transform's domain) and uncovered coordinates yield NaN.
+
+    nearest: value of the containing cell floor(p). bilinear: 4 corners
+    at floor(p−.5)(+1), fractional weights, NaN-renormalizing
+    valid-corner rule (the engine's pinned corner convention)."""
+    n = len(p_i)
+    ok = np.isfinite(p_i) & np.isfinite(p_j)
+    pi = np.where(ok, p_i, -(2.0**40))  # sentinel far outside any tile
+    pj = np.where(ok, p_j, -(2.0**40))
+    if method == "nearest":
+        si = np.floor(pi).astype(np.int64)
+        sj = np.floor(pj).astype(np.int64)
+        out = np.full(n, np.nan)
+        for row in pdf.itertuples(index=False):
+            snr, snc = int(row.nrows), int(row.ncols)
+            arr = np.asarray(row.data, dtype=np.float64)
+            li = si - row.tile_x * T
+            lj = sj - row.tile_y * T
+            sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+            if sel.any():
+                out[sel] = arr[lj[sel] * snc + li[sel]]
+        return out
+    # bilinear, pinned corner order (0,0),(0,1),(1,0),(1,1)
+    i0 = np.floor(pi - 0.5).astype(np.int64)
+    j0 = np.floor(pj - 0.5).astype(np.int64)
+    fx = (pi - 0.5) - i0
+    fy = (pj - 0.5) - j0
+    num = np.zeros(n)
+    den = np.zeros(n)
+    for dy in (0, 1):
+        wy = (1.0 - fy) if dy == 0 else fy
+        for dx in (0, 1):
+            wx = (1.0 - fx) if dx == 0 else fx
+            ci, cj = i0 + dx, j0 + dy
+            for row in pdf.itertuples(index=False):
+                snr, snc = int(row.nrows), int(row.ncols)
+                arr = np.asarray(row.data, dtype=np.float64)
+                li = ci - row.tile_x * T
+                lj = cj - row.tile_y * T
+                sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+                if not sel.any():
+                    continue
+                v = arr[lj[sel] * snc + li[sel]]
+                okc = ~np.isnan(v)
+                w = (wy * wx)[sel]
+                num[sel] += np.where(okc, w * v, 0.0)
+                den[sel] += np.where(okc, w, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den == 0.0] = np.nan
+    return out
 
 
 def bilinear_2x(padded: np.ndarray, nr: int, nc: int, g: int = 1) -> np.ndarray:
@@ -357,46 +423,178 @@ def warp_affine(
         gy = oty * T + oj + 0.5
         p_i = a * gx + b * gy + c
         p_j = d * gx + e * gy + f
-        if method == "nearest":
-            si = np.floor(p_i).astype(np.int64)
-            sj = np.floor(p_j).astype(np.int64)
-            out = np.full(onr * onc, np.nan)
-            for row in pdf.itertuples(index=False):
-                snr, snc = int(row.nrows), int(row.ncols)
-                arr = np.asarray(row.data, dtype=np.float64)
-                li = si - row.tile_x * T
-                lj = sj - row.tile_y * T
-                sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
-                if sel.any():
-                    out[sel] = arr[lj[sel] * snc + li[sel]]
-        else:  # bilinear, pinned corner order (0,0),(0,1),(1,0),(1,1)
-            i0 = np.floor(p_i - 0.5).astype(np.int64)
-            j0 = np.floor(p_j - 0.5).astype(np.int64)
-            fx = (p_i - 0.5) - i0
-            fy = (p_j - 0.5) - j0
-            num = np.zeros(onr * onc)
-            den = np.zeros(onr * onc)
-            for dy in (0, 1):
-                wy = (1.0 - fy) if dy == 0 else fy
-                for dx in (0, 1):
-                    wx = (1.0 - fx) if dx == 0 else fx
-                    ci, cj = i0 + dx, j0 + dy
-                    for row in pdf.itertuples(index=False):
-                        snr, snc = int(row.nrows), int(row.ncols)
-                        arr = np.asarray(row.data, dtype=np.float64)
-                        li = ci - row.tile_x * T
-                        lj = cj - row.tile_y * T
-                        sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
-                        if not sel.any():
-                            continue
-                        v = arr[lj[sel] * snc + li[sel]]
-                        ok = ~np.isnan(v)
-                        w = (wy * wx)[sel]
-                        num[sel] += np.where(ok, w * v, 0.0)
-                        den[sel] += np.where(ok, w, 0.0)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out = num / den
-            out[den == 0.0] = np.nan
+        out = _sample_from_rows(pdf, p_i, p_j, method, T)
+        return pd.DataFrame(
+            [{
+                "tile_x": otx, "tile_y": oty, "level": level,
+                "band": out_band, "nrows": onr, "ncols": onc, "data": out,
+            }]
+        )
+
+    return joined.groupBy("otx", "oty").applyInPandas(gather, tiling.TILES_SCHEMA)
+
+
+def inverse_mercator_to_platecarree(
+    src_shape: tuple[int, int], out_shape: tuple[int, int], max_lat: float = 85.05112877980659
+):
+    """Inverse map for reprojecting an equirectangular (plate-carrée)
+    source raster onto a Web-Mercator output grid — the classic
+    tile-server warp. Output pixel (gx, gy) on an out_shape Mercator
+    grid spanning lon [-180, 180] x gudermannian lat [-max_lat,
+    max_lat]; returns the source pixel coordinates on an src_shape
+    equirectangular grid spanning the same lon and lat [-90, 90].
+    lat = 2*atan(exp(y)) - pi/2 (the inverse Mercator), vectorized."""
+    sh, sw = src_shape
+    oh, ow = out_shape
+    y_max = np.log(np.tan(np.pi / 4.0 + np.radians(max_lat) / 2.0))
+
+    def inv(gx: np.ndarray, gy: np.ndarray):
+        lon = gx / ow * 360.0 - 180.0
+        y = y_max - gy / oh * (2.0 * y_max)
+        lat = np.degrees(2.0 * np.arctan(np.exp(y)) - np.pi / 2.0)
+        p_i = (lon + 180.0) / 360.0 * sw
+        p_j = (90.0 - lat) / 180.0 * sh
+        return p_i, p_j
+
+    return inv
+
+
+def warp_transform(
+    tiles: DataFrame,
+    T: int,
+    inverse,
+    out_shape: tuple[int, int],
+    band: str = "z",
+    out_band: str = "warp",
+    level: int = 0,
+    method: str = "nearest",
+    edge_samples: int = 9,
+    margin: float = 2.0,
+    max_gather_tiles: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """General (non-affine) warp / reprojection: output cell (oi, oj)
+    samples the source at ``(p_i, p_j) = inverse(oi+.5, oj+.5)`` —
+    ``inverse`` is any vectorized NumPy callable mapping output pixel
+    coordinates to source pixel coordinates (plate-carrée → Mercator,
+    sinusoidal, lens distortion, ...). NaN/inf from ``inverse`` =
+    outside the transform's domain → NaN output. Sampling (nearest /
+    bilinear NaN-renormalizing corners) is pinned identically to
+    warp_affine (shared kernel ``_sample_from_rows``).
+
+    Scale design — the warp_affine planning-join shape generalized:
+    the source bbox of an output tile is no longer corner-exact, so a
+    METADATA-ONLY mapInPandas over the output-tile list (ny·nx rows,
+    never pixels) pushes ``edge_samples`` points per tile boundary edge
+    through ``inverse`` and takes the sample bbox ± ``margin`` source
+    pixels. Contract (standard gdalwarp sampling assumption): the
+    transform is smooth enough that its coordinate extrema over a tile
+    rectangle occur on (within ``margin`` px of) the boundary samples —
+    true for every map projection at practical tile sizes. The bbox
+    explodes JVM-side to covered source-tile ids, the DATA join ships
+    each source tile only where needed, and ONE applyInPandas per
+    output tile gathers. Per-pixel rows never shuffle.
+
+    Guard: a tile whose bbox covers more than ``max_gather_tiles``
+    source tiles raises (executor-memory cliff — strongly minifying
+    transforms should pre-reduce through the overview pyramid, as
+    warp_affine does automatically for the uniform-|det| affine case,
+    or warp at a parent level). ``stats`` records
+    {'max_fanout_tiles': n} for plan tests."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown warp method: {method}")
+    H, W = out_shape
+    nx_out = (W + T - 1) // T
+    ny_out = (H + T - 1) // T
+    marg = float(margin) + (0.0 if method == "nearest" else 1.0)
+    S = int(edge_samples)
+
+    out_tiles = tiles.sparkSession.range(nx_out * ny_out).select(
+        (F.col("id") % nx_out).cast("int").alias("otx"),
+        (F.col("id") / nx_out).cast("int").alias("oty"),
+    )
+
+    def plan_bbox(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                otx, oty = int(r.otx), int(r.oty)
+                onr = min(H - oty * T, T)
+                onc = min(W - otx * T, T)
+                # boundary samples: S points per edge, pixel-center span
+                tx = np.linspace(otx * T + 0.5, otx * T + onc - 0.5, S)
+                ty = np.linspace(oty * T + 0.5, oty * T + onr - 0.5, S)
+                gx = np.concatenate([tx, tx, np.full(S, tx[0]), np.full(S, tx[-1])])
+                gy = np.concatenate([np.full(S, ty[0]), np.full(S, ty[-1]), ty, ty])
+                p_i, p_j = inverse(gx, gy)
+                p_i = np.asarray(p_i, dtype=np.float64)
+                p_j = np.asarray(p_j, dtype=np.float64)
+                ok = np.isfinite(p_i) & np.isfinite(p_j)
+                if not ok.any():
+                    continue  # fully outside the transform's domain
+                rows.append({
+                    "otx": otx, "oty": oty,
+                    "sti0": int(np.floor((p_i[ok].min() - marg) / T)),
+                    "sti1": int(np.floor((p_i[ok].max() + marg) / T)),
+                    "stj0": int(np.floor((p_j[ok].min() - marg) / T)),
+                    "stj1": int(np.floor((p_j[ok].max() + marg) / T)),
+                })
+            yield pd.DataFrame(
+                rows, columns=["otx", "oty", "sti0", "sti1", "stj0", "stj1"]
+            )
+
+    planned = out_tiles.mapInPandas(
+        plan_bbox, "otx int, oty int, sti0 int, sti1 int, stj0 int, stj1 int"
+    )
+    fanout = (
+        (F.col("sti1") - F.col("sti0") + 1)
+        * (F.col("stj1") - F.col("stj0") + 1)
+    )
+    planned = planned.withColumn("_fan", fanout)
+    if stats is not None:
+        mf = planned.agg(F.max("_fan")).collect()[0][0]
+        stats["max_fanout_tiles"] = int(mf or 0)
+        if mf is not None and mf > max_gather_tiles:
+            raise ValueError(
+                f"warp_transform: an output tile's source bbox covers "
+                f"{mf} tiles (> max_gather_tiles={max_gather_tiles}) — "
+                "pre-reduce via the overview pyramid or warp at a parent "
+                "level"
+            )
+    plan = (
+        planned.select(
+            "otx", "oty", "stj0", "stj1", "_fan",
+            F.explode(F.sequence("sti0", "sti1")).alias("tile_x"),
+        )
+        .select(
+            "otx", "oty", "tile_x", "_fan",
+            F.explode(F.sequence("stj0", "stj1")).alias("tile_y"),
+        )
+    )
+    joined = plan.join(
+        tiles.filter(F.col("band") == band).select(
+            "tile_x", "tile_y", "nrows", "ncols", "data"
+        ),
+        ["tile_x", "tile_y"],
+    )
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = int(key[0]), int(key[1])
+        if len(pdf) and int(pdf["_fan"].iloc[0]) > max_gather_tiles:
+            # executor-side guard: fires even when stats wasn't requested
+            raise ValueError(
+                f"warp_transform: output tile ({otx},{oty}) gathers "
+                f"{int(pdf['_fan'].iloc[0])} source tiles "
+                f"(> max_gather_tiles={max_gather_tiles})"
+            )
+        onr = min(H - oty * T, T)
+        onc = min(W - otx * T, T)
+        oj, oi = np.divmod(np.arange(onr * onc), onc)
+        p_i, p_j = inverse(otx * T + oi + 0.5, oty * T + oj + 0.5)
+        out = _sample_from_rows(
+            pdf, np.asarray(p_i, dtype=np.float64),
+            np.asarray(p_j, dtype=np.float64), method, T
+        )
         return pd.DataFrame(
             [{
                 "tile_x": otx, "tile_y": oty, "level": level,

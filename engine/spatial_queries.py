@@ -1218,8 +1218,10 @@ def sq_upsample(spark: SparkSession, sf: str) -> DataFrame:
     """Resample family in one driver row: bilinear 2x upsample of the
     arithmetic DEM (64x64 -> 128x128, band 'z') UNION the round-3
     nearest-neighbor affine WARP (rotation+scale+translate to a 40x56
-    output, band 'warp'); per-tile summary. NaN-aware renormalizing
-    corners / out-of-extent NaN (speckle + borders exercise both)."""
+    output, band 'warp') UNION the round-4 GENERAL non-affine
+    warp_transform (quadratic lens distortion, band 'warpt'); per-tile
+    summary. NaN-aware renormalizing corners / out-of-extent NaN
+    (speckle + borders exercise both)."""
     from engine import resample
     from engine.deploy import ensure_shipped
 
@@ -1230,7 +1232,18 @@ def sq_upsample(spark: SparkSession, sf: str) -> DataFrame:
         tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56),
         band="z", out_band="warp",
     )
-    return _tile_summary(up.unionByName(warp))
+
+    # round 4: GENERAL (non-affine) reprojection — a quadratic lens
+    # distortion, polynomial so the oracle mirrors the inverse map
+    # exactly in SQL (transcendental projections like Mercator are
+    # golden-tested in pytest instead; libm vs NumPy SIMD ulp risk)
+    def _inv_lens(gx, gy):
+        return gx + gx * gx / 96.0, gy + gx * gy / 128.0
+
+    warpt = resample.warp_transform(
+        tiles, 16, _inv_lens, (48, 48), band="z", out_band="warpt"
+    )
+    return _tile_summary(up.unionByName(warp).unionByName(warpt))
 
 
 # child sample at parent offset ±0.25 per axis -> corner weights are
@@ -1278,7 +1291,26 @@ wvals AS (
   SELECT w.oi // 16 AS tx, w.oj // 16 AS ty, d.z AS v
   FROM wpix w JOIN dem d ON d.i = w.si AND d.j = w.sj
 ),
-wtiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 3) b(ty))
+wtiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 3) b(ty)),
+-- non-affine warp mirror (engine/resample.warp_transform, round 4):
+-- quadratic lens inverse p = (gx + gx²/96, gy + gx·gy/128) in pure
+-- DOUBLE arithmetic (CAST first: bare oi + 0.5 is DECIMAL in DuckDB),
+-- nearest floor — exactly the engine's vectorized inverse
+wtpix AS (
+  SELECT a.oi AS oi, b.oj AS oj,
+         CAST(FLOOR((CAST(a.oi AS DOUBLE) + 0.5)
+              + (CAST(a.oi AS DOUBLE) + 0.5) * (CAST(a.oi AS DOUBLE) + 0.5) / 96.0)
+              AS BIGINT) AS si,
+         CAST(FLOOR((CAST(b.oj AS DOUBLE) + 0.5)
+              + (CAST(a.oi AS DOUBLE) + 0.5) * (CAST(b.oj AS DOUBLE) + 0.5) / 128.0)
+              AS BIGINT) AS sj
+  FROM range(0, 48) a(oi), range(0, 48) b(oj)
+),
+wtvals AS (
+  SELECT w.oi // 16 AS tx, w.oj // 16 AS ty, d.z AS v
+  FROM wtpix w JOIN dem d ON d.i = w.si AND d.j = w.sj
+),
+wttiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 3) a(tx), range(0, 3) b(ty))
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'z' AS band,
        COUNT(v.v) AS n_valid, ROUND(COALESCE(SUM(v.v), 0.0), 4) AS tile_sum
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
@@ -1286,6 +1318,10 @@ UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'warp',
        COUNT(v.v), ROUND(COALESCE(SUM(v.v), 0.0), 4)
 FROM wtiles t LEFT JOIN wvals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'warpt',
+       COUNT(v.v), ROUND(COALESCE(SUM(v.v), 0.0), 4)
+FROM wttiles t LEFT JOIN wtvals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
 

@@ -342,3 +342,125 @@ def test_warp_affine_minification_routes_through_pyramid(spark):
         tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56), stats=stats2
     )
     assert stats2["overview_levels"] == 0
+
+
+# ---------------------------------------------------------------------------
+# warp_transform (general non-affine reprojection, round 4)
+# ---------------------------------------------------------------------------
+
+
+def brute_transform_nearest(arr, inv, out_shape):
+    import numpy as np
+    H, W = out_shape
+    sh, sw = arr.shape
+    oj, oi = np.mgrid[0:H, 0:W]
+    p_i, p_j = inv((oi + 0.5).astype(float).ravel(),
+                   (oj + 0.5).astype(float).ravel())
+    out = np.full(H * W, np.nan)
+    ok = np.isfinite(p_i) & np.isfinite(p_j)
+    si = np.floor(np.where(ok, p_i, -1)).astype(np.int64)
+    sj = np.floor(np.where(ok, p_j, -1)).astype(np.int64)
+    sel = ok & (si >= 0) & (si < sw) & (sj >= 0) & (sj < sh)
+    out[sel] = arr.ravel()[sj[sel] * sw + si[sel]]
+    return out.reshape(H, W)
+
+
+def test_warp_transform_affine_equivalence(spark):
+    """warp_transform with an affine inverse must equal warp_affine
+    bit-for-bit (shared sampling kernel) — both methods, incl. the
+    rotation that exercises multi-tile gathers and out-of-extent NaN."""
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    coeffs = (0.7, -0.4, 6.0, 0.4, 0.7, -3.0)
+    a, b, c, d, e, f = coeffs
+
+    def inv(gx, gy):
+        return a * gx + b * gy + c, d * gx + e * gy + f
+
+    for method in ("nearest", "bilinear"):
+        want = _plane(
+            resample.warp_affine(tiles, 16, coeffs, (40, 56), method=method),
+            16, 40, 56,
+        )
+        got = _plane(
+            resample.warp_transform(
+                tiles, 16, inv, (40, 56), method=method
+            ),
+            16, 40, 56,
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_warp_transform_mercator_golden(spark):
+    """Plate-carrée -> Web-Mercator reprojection (the genuinely
+    non-affine tile-server warp): distributed == brute per-pixel."""
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    inv = resample.inverse_mercator_to_platecarree((64, 64), (64, 64))
+    stats: dict = {}
+    got = _plane(
+        resample.warp_transform(tiles, 16, inv, (64, 64), stats=stats),
+        16, 64, 64,
+    )
+    want = brute_transform_nearest(arr, inv, (64, 64))
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9)
+    )
+    # the warp really is non-affine: some rows sample compressed,
+    # some stretched (Mercator latitude distortion)
+    assert stats["max_fanout_tiles"] <= 9  # 3x3 at the compressed poles
+    assert np.isfinite(want).sum() > 2000
+
+
+def test_warp_transform_domain_nan_and_fanout_guard(spark):
+    import numpy as np
+    import pytest
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+
+    # half the output is outside the transform's domain -> NaN there
+    def inv_hole(gx, gy):
+        p_i = np.where(gx < 16.0, gx, np.nan)
+        return p_i, gy
+
+    got = _plane(
+        resample.warp_transform(tiles, 16, inv_hole, (32, 32)), 16, 32, 32
+    )
+    want = brute_transform_nearest(arr, inv_hole, (32, 32))
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9)
+    )
+    # outside-domain half all NaN; in-domain half real data (the source
+    # DEM's nodata speckle remains NaN, so not ALL finite)
+    assert np.isnan(got[:, 16:]).all()
+    assert np.isfinite(got[:, :16]).sum() > 400
+
+    # a 16x-per-axis minifying transform must refuse the memory cliff
+    def inv_minify(gx, gy):
+        return gx * 16.0, gy * 16.0
+
+    stats: dict = {}
+    with pytest.raises(ValueError, match="max_gather_tiles"):
+        resample.warp_transform(
+            tiles, 16, inv_minify, (4, 4), max_gather_tiles=4, stats=stats
+        )
