@@ -1325,6 +1325,126 @@ FROM wttiles t LEFT JOIN wtvals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 """
 
 
+_OVERLAY_SUBJECTS = [
+    # (poly_id, xs, ys) — one non-convex pentagon, one convex quad, one
+    # triangle; exact binary-fraction coords, no vertex on a clip edge
+    (1, [2.0, 22.0, 21.0, 12.0, 3.5], [2.0, 3.0, 13.5, 7.25, 14.0]),
+    (2, [30.5, 44.0, 42.25, 29.0], [4.0, 6.5, 18.0, 15.5]),
+    (3, [8.0, 26.5, 14.0], [20.5, 22.0, 34.75]),
+]
+_OVERLAY_CLIPS = [
+    # convex QUADS (4 edges — the oracle unrolls exactly 4 S–H stages),
+    # positively wound (y-down clockwise, the engine's convention)
+    (1, [6.0, 26.0, 26.0, 6.0], [5.0, 5.0, 17.0, 17.0]),
+    (2, [10.0, 30.0, 22.0, 6.0], [18.0, 24.0, 36.0, 28.0]),
+    (3, [36.0, 48.0, 48.0, 36.0], [2.0, 2.0, 30.0, 30.0]),
+]
+
+
+def sq_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-vector overlay (engine/overlay.py, round 4): polygon x
+    polygon INTERSECTION via grid-bin candidate pairing + per-pair
+    Sutherland-Hodgman clip. The oracle replays the identical pinned
+    algorithm in SQL — four unrolled half-plane stages with the same
+    raw cross-product d values and the same t = d0/(d0-d1)
+    interpolation, then the same order-free micro-unit shoelace — so
+    the hash checks the clipped GEOMETRY, not just areas."""
+    from engine import overlay
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    ddl = "poly_id long, xs array<double>, ys array<double>"
+    subj = spark.createDataFrame(_OVERLAY_SUBJECTS, ddl)
+    clips = spark.createDataFrame(_OVERLAY_CLIPS, ddl)
+    out = overlay.overlay_intersection(subj, clips, spark)
+    return out.select(
+        "a_id", "b_id",
+        F.col("n_pts").cast("long").alias("n_pts"),
+        "area_q", "vsum_q",
+    )
+
+
+def _overlay_oracle_sql() -> str:
+    subj_vals = ",\n  ".join(
+        f"({sid}, {k}, {x!r}, {y!r})"
+        for sid, xs, ys in _OVERLAY_SUBJECTS
+        for k, (x, y) in enumerate(zip(xs, ys))
+    )
+    clip_rows = []
+    for cid, xs, ys in _OVERLAY_CLIPS:
+        cols = [str(cid)]
+        for k in range(4):
+            k2 = (k + 1) % 4
+            cols += [repr(xs[k]), repr(ys[k]), repr(xs[k2]), repr(ys[k2])]
+        clip_rows.append("(" + ", ".join(cols) + ")")
+    clip_cols = ", ".join(
+        f"e{k}x0 DOUBLE, e{k}y0 DOUBLE, e{k}x1 DOUBLE, e{k}y1 DOUBLE"
+        for k in range(1, 5)
+    )
+    stages = []
+    prev = "s0"
+    for k in range(1, 5):
+        out = f"s{k}"
+        stages.append(f"""
+{out}e AS (
+  SELECT cur.sid, cur.cid, cur.k,
+         prv.x AS x0, prv.y AS y0, cur.x AS x1, cur.y AS y1,
+         (c.e{k}x1 - c.e{k}x0) * (prv.y - c.e{k}y0)
+           - (c.e{k}y1 - c.e{k}y0) * (prv.x - c.e{k}x0) AS d0,
+         (c.e{k}x1 - c.e{k}x0) * (cur.y - c.e{k}y0)
+           - (c.e{k}y1 - c.e{k}y0) * (cur.x - c.e{k}x0) AS d1
+  FROM {prev} cur
+  JOIN (SELECT sid, cid, COUNT(*) AS n FROM {prev} GROUP BY 1, 2) cnt
+    ON cnt.sid = cur.sid AND cnt.cid = cur.cid
+  JOIN {prev} prv ON prv.sid = cur.sid AND prv.cid = cur.cid
+                 AND prv.k = (cur.k + cnt.n - 1) % cnt.n
+  JOIN clipe c ON c.cid = cur.cid
+),
+{out} AS MATERIALIZED (
+  SELECT sid, cid,
+         ROW_NUMBER() OVER (PARTITION BY sid, cid ORDER BY k, sub) - 1 AS k,
+         x, y
+  FROM (
+    SELECT sid, cid, k, 0 AS sub,
+           x0 + (d0 / (d0 - d1)) * (x1 - x0) AS x,
+           y0 + (d0 / (d0 - d1)) * (y1 - y0) AS y
+    FROM {out}e WHERE (d0 >= 0) != (d1 >= 0)
+    UNION ALL
+    SELECT sid, cid, k, 1, x1, y1 FROM {out}e WHERE d1 >= 0
+  )
+)""")
+        prev = out
+    return f"""
+WITH subjv(sid, k, x, y) AS (VALUES
+  {subj_vals}
+),
+clipe0(cid, {clip_cols.replace(' DOUBLE', '')}) AS (VALUES
+  {",".join(clip_rows)}
+),
+clipe AS (SELECT cid, {", ".join(
+    f"CAST(e{k}{c} AS DOUBLE) AS e{k}{c}"
+    for k in range(1, 5) for c in ("x0", "y0", "x1", "y1")
+)} FROM clipe0),
+-- every (subject, clip) pair whose result survives the >=3 filter;
+-- disjoint pairs clip to empty exactly as the engine's binned
+-- candidate set implies (bbox-disjoint => empty intersection)
+s0 AS (
+  SELECT s.sid, c.cid, s.k, CAST(s.x AS DOUBLE) AS x, CAST(s.y AS DOUBLE) AS y
+  FROM subjv s, (SELECT DISTINCT cid FROM clipe) c
+),{",".join(stages)}
+SELECT a.sid AS a_id, a.cid AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       ABS(CAST(SUM(CAST(ROUND((a.x * b.y - b.x * a.y) * 1000000.0) AS BIGINT)) AS BIGINT)) / 2000000.0 AS area_q,
+       CAST(SUM(CAST(ROUND(a.x * 1000000.0) AS BIGINT)
+                + CAST(ROUND(a.y * 1000000.0) AS BIGINT)) AS BIGINT) AS vsum_q
+FROM s4 a
+JOIN (SELECT sid, cid, COUNT(*) AS n FROM s4 GROUP BY 1, 2) cnt
+  ON cnt.sid = a.sid AND cnt.cid = a.cid
+JOIN s4 b ON b.sid = a.sid AND b.cid = a.cid AND b.k = (a.k + 1) % cnt.n
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
 def sq_moran(spark: SparkSession, sf: str) -> DataFrame:
     """Global Moran's I (engine/autocorr.py) of the arithmetic DEM
     under rook weights: two map-side-partial passes (mean, then one
@@ -1996,6 +2116,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_points": (sq_sample_points, SQ_SAMPLE_POINTS_SQL),
     "sq_upsample": (sq_upsample, SQ_UPSAMPLE_SQL),
+    "sq_overlay": (sq_overlay, _overlay_oracle_sql()),
     "sq_moran": (sq_moran, SQ_MORAN_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
