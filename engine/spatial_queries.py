@@ -1059,13 +1059,19 @@ def sq_reclass_algebra(spark: SparkSession, sf: str) -> DataFrame:
     """Local map algebra (engine/algebra.py) + bounded Euclidean
     distance transform (engine/distance.py): reclassify the class
     raster {0:10, 1:20, 2:20, 3:30}, the normalized difference
-    (dem - rc)/(dem + rc) against the DEM band, and dist0 = exact
-    distance (cap 6 cells) to the nearest class-0 cell; per-tile
-    summary of all bands."""
+    (dem - rc)/(dem + rc) against the DEM band, dist0 = exact
+    distance (cap 6 cells) to the nearest class-0 cell, and the
+    round-4 'costd' band — accumulated COST DISTANCE
+    (engine/costdist.py Dijkstra, bounded window) over cost = 2 + z on
+    a 48x48 DEM where every halo window covers the raster, so the
+    bounded result is globally exact and the oracle can replay the
+    same recurrence by Jacobi relaxation in a recursive CTE; per-tile
+    summary of all bands (quantized for costd — path sums land near
+    rounding boundaries)."""
     import numpy as np
     import pandas as pd
 
-    from engine import algebra, distance, fixtures
+    from engine import algebra, costdist, distance, fixtures
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
@@ -1094,11 +1100,22 @@ def sq_reclass_algebra(spark: SparkSession, sf: str) -> DataFrame:
         tiles.filter(F.col("band") == "class"), 16, 6,
         lambda a: np.nan_to_num(a, nan=-1.0) == 0.0, out_band="dist0",
     )
-    return _tile_summary(out.unionByName(d0))
+    cost_tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(
+            2.0 + fixtures.dem_arith(size=48), 16, band="cost"
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    cd = costdist.cost_distance(
+        cost_tiles, 16, cap=16, pred=lambda a: a < 1.0, out_band="costd"
+    )
+    return _tile_summary(out.unionByName(d0)).unionByName(
+        _tile_summary_quantized(cd)
+    )
 
 
 SQ_RECLASS_SQL = f"""
-WITH {_RASTER_ARITH_SQL},
+WITH RECURSIVE {_RASTER_ARITH_SQL},
 {_DEM_SQL},
 nd AS (
   SELECT c.i // 16 AS tx, c.j // 16 AS ty,
@@ -1130,7 +1147,59 @@ UNION ALL
 SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y, 'dist0' AS band,
        COUNT(d.v) AS n_valid, ROUND(COALESCE(SUM(d.v), 0.0), 4) AS tile_sum
 FROM tiles0 t LEFT JOIN dist0 d ON d.tx = t.tx AND d.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'costd',
+       COUNT(cd.d),
+       ROUND(COALESCE(SUM(CAST(ROUND(cd.d * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM ctiles t LEFT JOIN costd cd ON cd.i // 16 = t.tx AND cd.j // 16 = t.ty
+GROUP BY 1, 2
 """
+
+# cost-distance mirror (engine/costdist.py, round 4): the 48x48 DEM in
+# pinned FLOAT64 order (CAST first — bare decimal literals keep DuckDB
+# in exact DECIMAL(38,5) and diverge at the ulp), cost = 2 + z, sources
+# = cost < 1, then the SAME recurrence the engine's Dijkstra satisfies,
+# D = min(D, D_nb + dist * (cost_nb + cost) / 2), by Jacobi relaxation:
+# one sweep per recursion step, 96 sweeps (converged by 48 on this
+# fixture; margin 2x). Dijkstra vs the relaxation fixpoint is
+# bit-identical — both take the same min over the same candidate path
+# sums — so the quantized tile sums hash exactly.
+_COST_SQL_CTES = """
+cdem AS MATERIALIZED (
+  SELECT i, j,
+         2.0 + (0.002 * (CAST(i AS DOUBLE) - 20.0) * (CAST(i AS DOUBLE) - 35.0)
+         + 0.003 * (CAST(j AS DOUBLE) - 10.0) * (CAST(j AS DOUBLE) - 50.0)
+         + 0.0004 * CAST(i AS DOUBLE) * CAST(j AS DOUBLE)) AS cost
+  FROM (SELECT x.i AS i, y.j AS j FROM range(0, 48) x(i), range(0, 48) y(j))
+  WHERE NOT (((i * 2654435761 + j * 40503 + 13) % 4294967296) < 0.03 * 4294967296)
+    AND NOT (i BETWEEN 8 AND 11 AND j BETWEEN 40 AND 43)
+),
+off9c(dx, dy, dist) AS (VALUES
+  (0, 0, 0.0),
+  (-1, -1, 1.4142135623730951), (0, -1, 1.0), (1, -1, 1.4142135623730951),
+  (-1, 0, 1.0), (1, 0, 1.0),
+  (-1, 1, 1.4142135623730951), (0, 1, 1.0), (1, 1, 1.4142135623730951)
+),
+crelax(it, i, j, d) AS (
+  SELECT 0, i, j, CASE WHEN cost < 1.0 THEN 0.0 ELSE 1e18 END FROM cdem
+  UNION ALL
+  SELECT r.it + 1, c.i, c.j, MIN(r.d + o.dist * (u.cost + c.cost) / 2.0)
+  FROM crelax r
+  JOIN cdem u ON u.i = r.i AND u.j = r.j
+  JOIN off9c o ON TRUE
+  JOIN cdem c ON c.i = r.i + o.dx AND c.j = r.j + o.dy
+  WHERE r.it < 96
+  GROUP BY r.it + 1, c.i, c.j
+),
+costd AS MATERIALIZED (
+  SELECT i, j, CASE WHEN d >= 1e17 THEN NULL ELSE d END AS d
+  FROM crelax WHERE it = 96
+),
+ctiles AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 3) a(tx), range(0, 3) b(ty))
+"""
+SQ_RECLASS_SQL = SQ_RECLASS_SQL.replace(
+    "nd AS (", _COST_SQL_CTES.strip().rstrip() + ",\nnd AS (", 1
+)
 
 
 def sq_sample_raster(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,120 @@
+"""Cost-distance goldens (engine/costdist.py): the Dijkstra kernel vs
+an independent Jacobi relaxation of the same recurrence, barrier
+routing, the tiled bounded operator vs the global kernel, and the
+documented window-truncation contract."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import costdist, fixtures
+from engine.costdist import _N8, cost_distance, cost_distance_kernel
+
+
+def jacobi_cost(a: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Independent golden: D <- min(D, min_nb D(nb) + step) to the
+    fixpoint — a different algorithm from the heapq Dijkstra."""
+    H, W = a.shape
+    valid = np.isfinite(a)
+    D = np.where(src & valid, 0.0, np.inf)
+    while True:
+        newD = D.copy()
+        for dj, di, dist in _N8:
+            sj0, sj1 = max(0, -dj), min(H, H - dj)
+            si0, si1 = max(0, -di), min(W, W - di)
+            nb = D[sj0 + dj : sj1 + dj, si0 + di : si1 + di]
+            step = dist * (
+                a[sj0 + dj : sj1 + dj, si0 + di : si1 + di]
+                + a[sj0:sj1, si0:si1]
+            ) / 2.0
+            with np.errstate(invalid="ignore"):
+                cand = nb + step
+                sub = newD[sj0:sj1, si0:si1]
+                np.fmin(sub, np.where(np.isnan(cand), np.inf, cand), out=sub)
+        newD[~valid] = np.inf
+        newD[src & valid] = 0.0
+        if np.array_equal(newD, D):
+            break
+        D = newD
+    D = np.where(np.isinf(D) | ~valid, np.nan, D)
+    return D
+
+
+def _plane(df, T, H, W):
+    out = np.full((H, W), np.nan)
+    for r in df.collect():
+        a = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        out[r.tile_y * T : r.tile_y * T + r.nrows,
+            r.tile_x * T : r.tile_x * T + r.ncols] = a
+    return out
+
+
+def test_kernel_matches_jacobi_on_speckled_dem():
+    z = fixtures.dem_arith(size=48)
+    cost = 2.0 + z  # positive everywhere; NaN speckle = barriers
+    src = cost < 1.0  # the saddle's low region (deterministic, nonempty)
+    assert np.nansum(src) > 0
+    got = cost_distance_kernel(cost, lambda a: a < 1.0)
+    want = jacobi_cost(cost, src)
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+        rtol=0, atol=1e-12,
+    )
+    assert (got[np.isfinite(got)] > 0).any()
+
+
+def test_barrier_forces_detour():
+    """A wall with one gap: cost through the gap, not across the wall."""
+    cost = np.ones((9, 9))
+    cost[:, 4] = np.nan
+    cost[4, 4] = 1.0  # the gap
+    got = cost_distance_kernel(cost, lambda a: np.isfinite(a) & (np.arange(9)[None, :] == 0))
+    # reaching (0, 8) must route through the gap at (4, 4)
+    assert np.isfinite(got[0, 8])
+    direct = 8.0  # what a straight row walk would cost without the wall
+    assert got[0, 8] > direct
+    assert np.isnan(got[0, 4])  # the wall itself is unreachable
+
+
+def test_tiled_equals_global_when_window_covers(spark):
+    z = fixtures.dem_arith(size=48)
+    cost = 2.0 + z
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(cost, 16, band="cost"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = _plane(
+        cost_distance(tiles, 16, cap=16, pred=lambda a: a < 1.0), 16, 48, 48
+    )
+    want = cost_distance_kernel(cost, lambda a: a < 1.0)
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9)
+    )
+
+
+def test_bounded_window_never_underreports(spark):
+    """cap smaller than the raster: window truncation only raises D
+    (or NaNs it) — never reports a cheaper path than the global one."""
+    z = fixtures.dem_arith(size=64)
+    cost = 2.0 + z
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(cost, 16, band="cost"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    bounded = _plane(
+        cost_distance(tiles, 16, cap=4, pred=lambda a: a < 1.0), 16, 64, 64
+    )
+    exact = cost_distance_kernel(cost, lambda a: a < 1.0)
+    both = np.isfinite(bounded) & np.isfinite(exact)
+    assert (bounded[both] >= exact[both] - 1e-12).all()
+    # truncation is visible somewhere (NaN or strictly larger)
+    assert (np.isnan(bounded) & np.isfinite(exact)).any() or (
+        bounded[both] > exact[both] + 1e-9
+    ).any()
+
+
+def test_cap_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="cap"):
+        cost_distance(None, 16, cap=20, pred=lambda a: a < 1.0)
