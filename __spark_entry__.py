@@ -2,9 +2,13 @@
 
 entry(spark)   — flagship pipeline on /root/testdata/sf0.001
 queries()      — one entry per implemented operator (SURVEY.md §2)
-oracle_sql()   — matching DuckDB SQL where expressible; non-SQL spatial
-                 ops (2-D focal kernels, PIP, tile ops) get rows-only
-                 checks and are golden-tested in tests/ instead.
+oracle_sql()   — matching DuckDB SQL for EVERY queries() entry (51 as
+                 of round 4, zero rows-only): 2-D spatial ops are
+                 value-hash-checked via contribution joins, recursive
+                 CTEs (CCL, flow paths, Jacobi fill/cost relaxations,
+                 unrolled Sutherland–Hodgman stages) and quantized
+                 order-free tile sums; NumPy goldens in tests/ cover
+                 what SQL can't express bit-for-bit (e.g. Mercator).
 """
 
 from __future__ import annotations
