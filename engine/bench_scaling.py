@@ -368,21 +368,24 @@ matter the plan. Evidence trail:
 | 8 pinned cores, 32M docs | ~1.6M docs/s | +4× cores → +2.7×; the box, not the cores, saturates |
 | packed int64 partials (r3 fix) | +10% absolute, pair eff 0.50→0.62 at 8M | shuffle bytes were PART of the wall — fixed and kept |
 | 16× more compute/byte geometry (level 14/T=256) | better small-input scaling (0.69 vs 0.62 at 8M), same ceiling at 32M | the wall is upstream of the focal compute |
-| typed-ingest variant (r4, parse removed) | this run: median {eff["pipet"]:.3f} | isolates the parse stage — see below |
+| typed-ingest variant (r4, parse removed) | median {eff["pipet"]:.3f}; ~{lv[str(LEVELS[0])]["pipet"]["per_sec"] / 1e6:.1f}M docs/s at TWO cores (≈4× the full composite at the same level) | removing compute makes the leg MORE byte-bound — it saturates the box earlier, the clearest ceiling signature |
 
-The ceiling is DRAM traffic + JVM allocation rate in the span-string
-parse (every doc materializes its spans array of structs and the
-media_ref strings before one geo ref is extracted) — a shared
-single-box resource. On a real N-vs-4N EXECUTOR cluster each executor
-brings its own memory bus and allocator, so the parse stage scales
-with executors; the 2-core leg already commanding >a third of the
-box's ceiling is precisely the signature this proxy cannot avoid. The
-r4 typed-ingest leg ("pipet": identical encode → rasterize → focal
-chain reading a committed doc_id/lat/lon table — the layout real
-pipelines query after parsing ONCE at ingest) removes that stage;
-its ratio above is the composite's scaling with the box-bound stage
-taken out. Neither binding metric shares this profile: focal and PIP
-are compute-dense per byte and meet ≥0.8 on the same protocol.
+Reading the evidence: the pipeline family is bounded by the BOX's data
+path (scan + Arrow crossing + shuffle bandwidth and the JVM allocation
+it drives), not by CPU. Every probe moves the same direction — more
+compute per byte scales BETTER (the 16× geometry sweep), less compute
+per byte scales WORSE (the typed leg: 2 pinned cores already move
+~{lv[str(LEVELS[0])]["pipet"]["per_sec"] / 1e6:.1f}M docs/s, so 4×
+that target exceeds what one box serves at any core count), and the
+two compute-dense BINDING metrics (focal, PIP) meet ≥0.8 on the same
+protocol. On a real N-vs-4N EXECUTOR cluster each executor brings its
+own scan bandwidth, memory bus, and allocator — the resource that
+saturates here scales WITH the executor count there, which is exactly
+what a single-box core-count proxy cannot reproduce. The parse stage
+remains the composite's largest single cost (the typed leg is 3–4×
+faster in absolute docs/s at every level), so a real pipeline parses
+once at ingest and queries the typed table — both variants are
+reported so the trade is measured, not asserted.
 
 Best-of is reported alongside the median because the host VM exhibits
 intermittent multi-second noise windows (per-run spreads are recorded
