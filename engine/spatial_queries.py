@@ -2033,6 +2033,65 @@ SELECT * FROM ({xtab})
 """
 
 
+def sq_zonal_cat(spark: SparkSession, sf: str) -> DataFrame:
+    """Zonal categorical statistics (engine/zonal.zonal_categorical,
+    round 4): per-zone MAJORITY / MINORITY class (pinned tie rule:
+    lowest class wins) and VARIETY over the FLOOR(dem/4) class raster,
+    zones = the arithmetic Voronoi raster — the same regenerable grids
+    the xtab leg uses, so the oracle is a count CTE + window ranking."""
+    import numpy as np
+    import pandas as pd
+
+    from engine import algebra, fixtures, zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(
+                    fixtures.raster_arith(size=64), 16, band="zone"
+                ),
+                fixtures.tiles_rows_from_array(
+                    fixtures.dem_arith(size=64), 16, band="z"
+                ),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    zb = algebra.local_map(
+        tiles, 16, "zb", lambda got: np.floor(got["z"] / 4.0), ["z"]
+    )
+    return zonal.zonal_categorical(
+        tiles.unionByName(zb), 16, zone_band="zone", class_band="zb"
+    )
+
+
+SQ_ZONAL_CAT_SQL = f"""
+WITH {_RASTER_ARITH_SQL},
+{_DEM_SQL},
+paircnt AS (
+  SELECT c.klass AS zone, CAST(FLOOR(d.z / 4.0) AS BIGINT) AS cls,
+         COUNT(*) AS n
+  FROM cells c JOIN dem d ON d.i = c.i AND d.j = c.j
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT zone, cls, n,
+         ROW_NUMBER() OVER (PARTITION BY zone ORDER BY n DESC, cls ASC) AS rmaj,
+         ROW_NUMBER() OVER (PARTITION BY zone ORDER BY n ASC, cls ASC) AS rmin
+  FROM paircnt
+)
+SELECT CAST(zone AS BIGINT) AS zone,
+       CAST(SUM(n) AS BIGINT) AS n_cells,
+       CAST(MAX(CASE WHEN rmaj = 1 THEN cls END) AS BIGINT) AS majority,
+       CAST(MAX(CASE WHEN rmin = 1 THEN cls END) AS BIGINT) AS minority,
+       CAST(COUNT(*) AS BIGINT) AS variety
+FROM ranked GROUP BY 1
+"""
+
+
 def sq_sample_points(spark: SparkSession, sf: str) -> DataFrame:
     """L3+L4 consolidated (one driver row, both drills exercised):
     nearest-pixel raster sampling per tile ('nearest' rows) unioned
@@ -2181,6 +2240,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_multimodal_features": (sq_multimodal_features, _multimodal_oracle_sql()),
     "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
     "sq_zonal": (sq_zonal, _zonal_merged_sql()),
+    "sq_zonal_cat": (sq_zonal_cat, SQ_ZONAL_CAT_SQL),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_points": (sq_sample_points, SQ_SAMPLE_POINTS_SQL),

@@ -127,6 +127,48 @@ def cross_tab(
     return part.groupBy("ca", "cb").agg(F.sum("n").alias("n_cells"))
 
 
+def zonal_categorical(
+    tiles: DataFrame,
+    T: int,
+    zone_band: str = "zone",
+    class_band: str = "cls",
+) -> DataFrame:
+    """Per-zone categorical statistics over an int class band (round
+    4; the ESRI ZonalStatistics MAJORITY/MINORITY/VARIETY family):
+    one row per zone with (n_cells, majority, minority, variety).
+    Pinned tie rule: equal counts -> the LOWEST class value wins (both
+    for majority and minority); variety = distinct classes present.
+
+    Built ON cross_tab's per-(zone, class) partial+final counts — the
+    rasters never leave their tiles, the shuffle is ∝ distinct
+    (zone, class) pairs, and the window ranking below runs over that
+    pair table (rows ∝ zones × classes, never cells)."""
+    from pyspark.sql import Window
+
+    pairs = cross_tab(tiles, T, zone_band, class_band).select(
+        F.col("ca").alias("zone"),
+        F.col("cb").alias("cls"),
+        F.col("n_cells").alias("n"),
+    )
+    wmaj = Window.partitionBy("zone").orderBy(
+        F.col("n").desc(), F.col("cls").asc()
+    )
+    wmin = Window.partitionBy("zone").orderBy(
+        F.col("n").asc(), F.col("cls").asc()
+    )
+    ranked = pairs.select(
+        "zone", "cls", "n",
+        F.row_number().over(wmaj).alias("rmaj"),
+        F.row_number().over(wmin).alias("rmin"),
+    )
+    return ranked.groupBy("zone").agg(
+        F.sum("n").alias("n_cells"),
+        F.max(F.when(F.col("rmaj") == 1, F.col("cls"))).alias("majority"),
+        F.max(F.when(F.col("rmin") == 1, F.col("cls"))).alias("minority"),
+        F.count(F.lit(1)).alias("variety"),
+    )
+
+
 def rasterize_zones(
     tiles: DataFrame,
     rings: list[tuple[int, list[tuple[float, float]]]],
