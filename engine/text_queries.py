@@ -612,6 +612,122 @@ FROM ({Q23_SQL})
 """
 
 
+def q37_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """D21 (round 4): near-duplicate CLUSTER assignment + canonical
+    selection — the dedup DECISION stage a training pipeline runs
+    downstream of MinHash-LSH (q18). Each connected component of the
+    undirected match graph becomes one cluster with cluster_id = the
+    lexicographically SMALLEST member doc_id; keep = 1 on that
+    canonical member, 0 on the near-dups to drop. Singleton
+    (unmatched) docs are not emitted (pinned).
+
+    Scale design: distributed min-label propagation over MATCH-GRAPH
+    rows only (never the corpus) — per round, one groupBy over the
+    edge list moves labels one hop, then one label-of-label join
+    doubles the resolved distance (the watershed/flow pointer-jump
+    pattern), localCheckpoint-bounded lineage, O(log diameter) rounds.
+    The oracle replays plain min-label Jacobi sweeps in a recursive
+    CTE (the fixture graph's diameter is small; sweeps are pinned with
+    2x margin)."""
+    pairs = q18_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return neardup_clusters(pairs)
+
+
+def neardup_clusters(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Connected components + canonical selection over an undirected
+    match-pair DataFrame (doc_a, doc_b) — the reusable core of q37
+    (pinned semantics there). Tested on synthetic chain graphs
+    (multi-hop convergence) in tests/test_text_scale.py."""
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lab", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("doc").alias("_nb"), F.col("lab").alias("nlab")
+                ),
+                F.col("doc_b") == F.col("_nb"),
+            )
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("nlab").alias("nlab"))
+        )
+        new = labels.join(nb, "doc", "left").select(
+            "doc",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+        )
+        jump = new.select(F.col("doc").alias("_k"), F.col("lab").alias("lab2"))
+        new = (
+            new.join(jump, new.lab == F.col("_k"), "left")
+            .select("doc", F.coalesce("lab2", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+        )
+        labels = new
+        if changed.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"neardup clustering did not converge in {max_rounds} rounds"
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("doc").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc") == F.col("lab")).cast("int").alias("keep"),
+    )
+
+
+# min-label Jacobi mirror: self-loops make "own label" one more MIN arm;
+# 12 sweeps (fixture component diameters are ~1-3: LSH matches form
+# near-cliques; margin 4x)
+Q37_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {Q18_SQL}
+),
+nedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  UNION
+  SELECT doc_a, doc_a FROM pairs
+  UNION
+  SELECT doc_b, doc_b FROM pairs
+),
+lab(it, doc, lab) AS (
+  SELECT 0, s, s FROM (SELECT DISTINCT s FROM nedges)
+  UNION ALL
+  SELECT l.it + 1, e.d, MIN(l.lab)
+  FROM lab l JOIN nedges e ON e.s = l.doc
+  WHERE l.it < 12
+  GROUP BY l.it + 1, e.d
+),
+final AS (SELECT doc, lab FROM lab WHERE it = 12),
+sizes AS (SELECT lab, COUNT(*) AS cluster_size FROM final GROUP BY 1)
+SELECT f.doc AS doc_id, f.lab AS cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(f.doc = f.lab AS INT) AS keep
+FROM final f JOIN sizes s ON s.lab = f.lab
+"""
+
+
 TEXT_QUERIES = {
     "q16_pip_rect": (q16_pip_rect, Q16_SQL),
     "q17_token_jaccard": (q17_token_jaccard, Q17_SQL),
@@ -620,6 +736,9 @@ TEXT_QUERIES = {
     "q21_langid": (q21_langid, Q21_SQL),
     "q22_ivf": (q22_ivf, Q22_IVF_SQL),
 }
+
+
+TEXT_QUERIES["q37_neardup_clusters"] = (q37_neardup_clusters, Q37_SQL)
 
 
 def _register_q24() -> None:

@@ -26,3 +26,27 @@ def test_srp_lsh_recall_of_clone_pairs(spark):
     assert (clones.cos_sim > 0.999).all()
     # nothing except clone pairs clears TAU on this corpus
     assert len(res) == len(clones)
+
+
+def test_neardup_clusters_chain_and_forest(spark):
+    """The q37 connected-components core on synthetic graphs a clique
+    fixture can't exercise: a 12-doc CHAIN (multi-hop label travel —
+    the pointer-jump rounds must converge, not just clique broadcast),
+    a separate triangle, and an isolated pair."""
+    from engine.text_queries import neardup_clusters
+
+    chain = [(f"d{i:02d}", f"d{i+1:02d}") for i in range(11)]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    pair = [("z8", "z9")]
+    pairs = spark.createDataFrame(
+        chain + tri + pair, "doc_a string, doc_b string"
+    )
+    rows = {r.doc_id: r for r in neardup_clusters(pairs).collect()}
+    assert len(rows) == 12 + 3 + 2
+    for i in range(12):
+        r = rows[f"d{i:02d}"]
+        assert r.cluster_id == "d00" and r.cluster_size == 12
+        assert r.keep == (1 if i == 0 else 0)
+    assert {rows[d].cluster_id for d in ("t1", "t2", "t3")} == {"t1"}
+    assert rows["t1"].cluster_size == 3 and rows["t1"].keep == 1
+    assert rows["z8"].cluster_id == "z8" and rows["z9"].cluster_size == 2
