@@ -33,11 +33,12 @@ import heapq
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from engine import tiling
 
-__all__ = ["cost_distance", "cost_distance_kernel"]
+__all__ = ["cost_distance", "cost_distance_kernel", "cost_path"]
 
 _SQRT2 = 1.4142135623730951
 _N8 = (
@@ -79,6 +80,102 @@ def cost_distance_kernel(
     D[~valid] = np.nan
     D[np.isinf(D)] = np.nan
     return D
+
+
+def backtrack_path(
+    cost: np.ndarray, D: np.ndarray, j: int, i: int
+) -> list[tuple[int, int]] | None:
+    """Least-cost path from cell (j, i) back to a source (D = 0) by
+    steepest accumulated-cost descent. Pinned predecessor rule: the
+    neighbor minimizing ``D(u) + dist·(cost(u)+cost(c))/2``, ties →
+    the FIRST offset in the pinned _N8 order. Within one Dijkstra
+    window the chosen candidate equals D(c) exactly, so D strictly
+    decreases (cost > 0) and the walk terminates at the source.
+    Returns [(j, i), ..., (j_src, i_src)], or None when (j, i) is
+    unreachable (D NaN)."""
+    H, W = D.shape
+    if not np.isfinite(D[j, i]):
+        return None
+    path = [(j, i)]
+    while D[j, i] > 0.0:
+        best, bj, bi = np.inf, -1, -1
+        cu = cost[j, i]
+        for dj, di, dist in _N8:
+            nj, ni = j + dj, i + di
+            if 0 <= nj < H and 0 <= ni < W and np.isfinite(D[nj, ni]):
+                cand = D[nj, ni] + dist * (cost[nj, ni] + cu) / 2.0
+                if cand < best:
+                    best, bj, bi = cand, nj, ni
+        if bj < 0:
+            raise RuntimeError("cost_path: no finite predecessor (corrupt D)")
+        j, i = bj, bi
+        path.append((j, i))
+    return path
+
+
+def cost_path(
+    tiles: DataFrame,
+    T: int,
+    cap: int,
+    source_pred: Callable[[np.ndarray], np.ndarray],
+    dest_pred,
+    level: int = 0,
+    wrap_nx: int | None = None,
+) -> DataFrame:
+    """Least-cost PATHS (ESRI CostPath): for every destination cell in
+    a tile's core, the backtracked path to the nearest source under the
+    bounded-window contract of cost_distance. ``dest_pred(gj, gi,
+    values)`` selects destinations from the core's GLOBAL row/col index
+    arrays + cell values (vectorized bool). Output: one row per
+    reachable destination — (dest_i, dest_j, n_steps, total_cost,
+    sum_i, sum_j) with sum_i/sum_j the path-cell coordinate sums (a
+    geometry checksum the SQL oracle replays step by step).
+
+    Plan: the SAME single halo exchange as cost_distance + ONE
+    applyInPandas running Dijkstra-then-backtrack per window; paths
+    never shuffle (each is resolved where its destination lives)."""
+    if cap > T:
+        raise ValueError(f"cap ({cap}) must be <= tile size T ({T})")
+    exchanged = tiling.halo_exchange(tiles, T, cap, wrap_nx)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["dest_i", "dest_j", "n_steps", "total_cost", "sum_i", "sum_j"]
+        got = tiling.assemble_padded(pdf, T, cap)
+        if got is None:
+            return pd.DataFrame(columns=cols)
+        bands, nr, nc = got
+        (_, cost), = bands.items()
+        tx, ty = int(key[0]), int(key[1])
+        D = cost_distance_kernel(cost, source_pred)
+        jj, ii = np.mgrid[0:nr, 0:nc]
+        gj = ty * T + jj
+        gi = tx * T + ii
+        core = cost[cap : cap + nr, cap : cap + nc]
+        want = np.asarray(dest_pred(gj, gi, core), dtype=bool)
+        want &= np.isfinite(core)
+        rows = []
+        for lj, li in np.argwhere(want):
+            wj, wi = lj + cap, li + cap  # window coords
+            path = backtrack_path(cost, D, int(wj), int(wi))
+            if path is None:
+                continue
+            pj = np.array([p[0] for p in path], dtype=np.int64)
+            pi = np.array([p[1] for p in path], dtype=np.int64)
+            rows.append({
+                "dest_i": int(gi[lj, li]), "dest_j": int(gj[lj, li]),
+                "n_steps": len(path) - 1,
+                "total_cost": float(D[wj, wi]),
+                # global coords: window origin is (ty*T - cap, tx*T - cap)
+                "sum_i": int((pi + tx * T - cap).sum()),
+                "sum_j": int((pj + ty * T - cap).sum()),
+            })
+        return pd.DataFrame(rows, columns=cols)
+
+    return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
+        run,
+        "dest_i long, dest_j long, n_steps long, total_cost double, "
+        "sum_i long, sum_j long",
+    )
 
 
 def cost_distance(

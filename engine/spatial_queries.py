@@ -1202,6 +1202,78 @@ SQ_RECLASS_SQL = SQ_RECLASS_SQL.replace(
 )
 
 
+def sq_cost_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Least-cost paths (engine/costdist.cost_path, round 4): for a
+    deterministic lattice of destination cells on the 48x48 cost
+    fixture, backtrack the Dijkstra surface to the nearest source with
+    the pinned predecessor rule; one row per reachable destination
+    with step count, total cost, and path-coordinate checksums. The
+    oracle recomputes the accumulated-cost surface (Jacobi relaxation,
+    shared CTEs) then walks a precomputed argmin-predecessor table
+    with a recursive CTE — the identical tie rule (candidate ASC,
+    pinned offset order ASC)."""
+    from engine import costdist, fixtures
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    cost_tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(
+            2.0 + fixtures.dem_arith(size=48), 16, band="cost"
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    return costdist.cost_path(
+        cost_tiles, 16, cap=16,
+        source_pred=lambda a: a < 1.0,
+        dest_pred=lambda gj, gi, vals: (gi % 17 == 3) & (gj % 13 == 5),
+    )
+
+
+# off8: the engine's pinned _N8 order — (dj, di, dist) with idx the
+# tie-break rank; predecessor = argmin(D(u) + dist*(cost_u + cost_c)/2)
+SQ_COST_PATH_SQL = f"""
+WITH RECURSIVE {_COST_SQL_CTES.strip().rstrip()},
+off8(idx, dj, di, dist) AS (VALUES
+  (0, -1, -1, 1.4142135623730951), (1, -1, 0, 1.0),
+  (2, -1, 1, 1.4142135623730951), (3, 0, -1, 1.0), (4, 0, 1, 1.0),
+  (5, 1, -1, 1.4142135623730951), (6, 1, 0, 1.0),
+  (7, 1, 1, 1.4142135623730951)
+),
+predt AS MATERIALIZED (
+  SELECT ci, cj, ni, nj FROM (
+    SELECT c.i AS ci, c.j AS cj, u.i AS ni, u.j AS nj,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.i, c.j
+             ORDER BY u.d + o.dist * (cu.cost + cc.cost) / 2.0 ASC, o.idx ASC
+           ) AS rn
+    FROM costd c
+    JOIN off8 o ON TRUE
+    JOIN costd u ON u.i = c.i + o.di AND u.j = c.j + o.dj
+                AND u.d IS NOT NULL
+    JOIN cdem cu ON cu.i = u.i AND cu.j = u.j
+    JOIN cdem cc ON cc.i = c.i AND cc.j = c.j
+    WHERE c.d IS NOT NULL AND c.d > 0
+  ) WHERE rn = 1
+),
+walkp(dest_i, dest_j, k, ci, cj) AS (
+  SELECT i, j, 0, i, j FROM costd
+  WHERE d IS NOT NULL AND i % 17 = 3 AND j % 13 = 5
+  UNION ALL
+  SELECT w.dest_i, w.dest_j, w.k + 1, p.ni, p.nj
+  FROM walkp w
+  JOIN costd cur ON cur.i = w.ci AND cur.j = w.cj AND cur.d > 0
+  JOIN predt p ON p.ci = w.ci AND p.cj = w.cj
+)
+SELECT w.dest_i, w.dest_j,
+       CAST(MAX(w.k) AS BIGINT) AS n_steps,
+       MAX(dc.d) AS total_cost,
+       CAST(SUM(w.ci) AS BIGINT) AS sum_i,
+       CAST(SUM(w.cj) AS BIGINT) AS sum_j
+FROM walkp w JOIN costd dc ON dc.i = w.dest_i AND dc.j = w.dest_j
+GROUP BY 1, 2
+"""
+
+
 def sq_sample_raster(spark: SparkSession, sf: str) -> DataFrame:
     """Point drill (engine/algebra.sample_raster): every document
     samples the level-9 count raster at its own pixel (value = docs in
@@ -2241,6 +2313,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
     "sq_zonal": (sq_zonal, _zonal_merged_sql()),
     "sq_zonal_cat": (sq_zonal_cat, SQ_ZONAL_CAT_SQL),
+    "sq_cost_path": (sq_cost_path, SQ_COST_PATH_SQL),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_points": (sq_sample_points, SQ_SAMPLE_POINTS_SQL),
