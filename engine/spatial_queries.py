@@ -1274,6 +1274,91 @@ GROUP BY 1, 2
 """
 
 
+def sq_contour(spark: SparkSession, sf: str) -> DataFrame:
+    """Iso-contour extraction (engine/vector.contour_segments, round
+    4): marching squares at level 2.0 over the arithmetic DEM; per-tile
+    segment count + quantized length / endpoint checksums. The oracle
+    regenerates the DEM in pinned FLOAT64 order (the shared decimal
+    dem CTE diverges at the ulp inside the interpolation division),
+    classifies every 2x2 block, and emits the same pinned
+    case->edge-pair table as literal UNION arms."""
+    from engine import vector
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    segs = vector.contour_segments(_dem_tiles(spark), 16, 2.0, band="z")
+    seg_len = F.sqrt(
+        (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
+        + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
+    )
+    vq = F.round(
+        (F.col("x0") + F.col("y0") + F.col("x1") + F.col("y1")) * 1e6
+    ).cast("long")
+    return (
+        segs.groupBy(
+            F.floor(F.col("bi") / 16).cast("int").alias("tile_x"),
+            F.floor(F.col("bj") / 16).cast("int").alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.round(
+                F.sum(F.round(seg_len * 1e6).cast("long")) / 1e6, 4
+            ).alias("len_q"),
+            F.sum(vq).alias("vsum_q"),
+        )
+    )
+
+
+def _contour_oracle_sql() -> str:
+    from engine.vector import _MS_LUT
+
+    # edge id -> (x, y) SQL expressions; t uses the engine's exact
+    # (L - va)/(vb - va) with L = 2.0
+    ex = {
+        0: ("CAST(i AS DOUBLE) + (2.0 - v00) / (v10 - v00)", "CAST(j AS DOUBLE)"),
+        1: ("CAST(i + 1 AS DOUBLE)", "CAST(j AS DOUBLE) + (2.0 - v10) / (v11 - v10)"),
+        2: ("CAST(i AS DOUBLE) + (2.0 - v01) / (v11 - v01)", "CAST(j + 1 AS DOUBLE)"),
+        3: ("CAST(i AS DOUBLE)", "CAST(j AS DOUBLE) + (2.0 - v00) / (v01 - v00)"),
+    }
+    arms = []
+    for case, segs in sorted(_MS_LUT.items()):
+        for ea, eb in segs:
+            arms.append(
+                f"SELECT i, j, {ex[ea][0]} AS x0, {ex[ea][1]} AS y0, "
+                f"{ex[eb][0]} AS x1, {ex[eb][1]} AS y1 "
+                f"FROM blocks WHERE cs = {case}"
+            )
+    return f"""
+WITH fdem AS MATERIALIZED (
+  SELECT i, j,
+         0.002 * (CAST(i AS DOUBLE) - 20.0) * (CAST(i AS DOUBLE) - 35.0)
+         + 0.003 * (CAST(j AS DOUBLE) - 10.0) * (CAST(j AS DOUBLE) - 50.0)
+         + 0.0004 * CAST(i AS DOUBLE) * CAST(j AS DOUBLE) AS z
+  FROM (SELECT x.i AS i, y.j AS j FROM range(0, 64) x(i), range(0, 64) y(j))
+  WHERE NOT (((i * 2654435761 + j * 40503 + 13) % 4294967296) < 0.03 * 4294967296)
+    AND NOT (i BETWEEN 8 AND 11 AND j BETWEEN 40 AND 43)
+),
+blocks AS MATERIALIZED (
+  SELECT d00.i AS i, d00.j AS j,
+         d00.z AS v00, d10.z AS v10, d11.z AS v11, d01.z AS v01,
+         CAST(d00.z >= 2.0 AS INT) + 2 * CAST(d10.z >= 2.0 AS INT)
+         + 4 * CAST(d11.z >= 2.0 AS INT) + 8 * CAST(d01.z >= 2.0 AS INT) AS cs
+  FROM fdem d00
+  JOIN fdem d10 ON d10.i = d00.i + 1 AND d10.j = d00.j
+  JOIN fdem d01 ON d01.i = d00.i AND d01.j = d00.j + 1
+  JOIN fdem d11 ON d11.i = d00.i + 1 AND d11.j = d00.j + 1
+),
+segs AS (
+  {" UNION ALL ".join(arms)}
+)
+SELECT CAST(i // 16 AS INT) AS tile_x, CAST(j // 16 AS INT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       ROUND(SUM(CAST(ROUND(SQRT((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS len_q,
+       CAST(SUM(CAST(ROUND((x0 + y0 + x1 + y1) * 1000000.0) AS BIGINT)) AS BIGINT) AS vsum_q
+FROM segs GROUP BY 1, 2
+"""
+
+
 def sq_sample_raster(spark: SparkSession, sf: str) -> DataFrame:
     """Point drill (engine/algebra.sample_raster): every document
     samples the level-9 count raster at its own pixel (value = docs in
@@ -2314,6 +2399,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_zonal": (sq_zonal, _zonal_merged_sql()),
     "sq_zonal_cat": (sq_zonal_cat, SQ_ZONAL_CAT_SQL),
     "sq_cost_path": (sq_cost_path, SQ_COST_PATH_SQL),
+    "sq_contour": (sq_contour, _contour_oracle_sql()),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
     "sq_reclass_algebra": (sq_reclass_algebra, SQ_RECLASS_SQL),
     "sq_sample_points": (sq_sample_points, SQ_SAMPLE_POINTS_SQL),

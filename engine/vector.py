@@ -167,6 +167,121 @@ def polygonize(label_tiles: DataFrame, T: int) -> DataFrame:
     return segments.groupBy("patch_id").applyInPandas(_chain_rings, RINGS_SCHEMA)
 
 
+# marching squares (round 4): corner bits 1=TL(0,0), 2=TR(1,0),
+# 4=BR(1,1), 8=BL(0,1) set when value >= L; edges 0=top(TL→TR),
+# 1=right(TR→BR), 2=bottom(BL→BR), 3=left(TL→BL). Saddles (5, 10) are
+# pinned to a FIXED segment pair (no center-average disambiguation) so
+# the SQL oracle can mirror the table verbatim.
+_MS_CORNER = {0: ((0, 0), (1, 0)), 1: ((1, 0), (1, 1)),
+              2: ((0, 1), (1, 1)), 3: ((0, 0), (0, 1))}
+_MS_LUT: dict[int, list[tuple[int, int]]] = {
+    1: [(0, 3)], 2: [(0, 1)], 3: [(1, 3)], 4: [(1, 2)],
+    5: [(0, 3), (1, 2)], 6: [(0, 2)], 7: [(2, 3)],
+    8: [(2, 3)], 9: [(0, 2)], 10: [(0, 1), (2, 3)],
+    11: [(1, 2)], 12: [(1, 3)], 13: [(0, 1)], 14: [(0, 3)],
+}
+
+CONTOUR_SCHEMA = (
+    "bi long, bj long, x0 double, y0 double, x1 double, y1 double"
+)
+
+
+def contour_segments_kernel(
+    arr: np.ndarray, L: float, gx0: float, gy0: float
+) -> pd.DataFrame:
+    """Marching-squares iso-segments of one array at level ``L``:
+    blocks are 2×2 cell windows with corner coordinates = CELL INDICES
+    (pinned; callers scale to world coords); a block contributes iff
+    ALL four corners are finite; crossing point on an edge (a → b) is
+    ``t = (L − va)/(vb − va)`` from corner a (pinned expression order).
+    Returns global-coordinate segment rows ((gx0, gy0) = the array's
+    global origin)."""
+    a = np.asarray(arr, dtype=np.float64)
+    cols = ["bi", "bj", "x0", "y0", "x1", "y1"]
+    H, W = a.shape
+    if H < 2 or W < 2:
+        return pd.DataFrame(columns=cols)
+    v = {
+        (dx, dy): a[dy : dy + H - 1, dx : dx + W - 1]
+        for dx in (0, 1) for dy in (0, 1)
+    }
+    valid = np.ones((H - 1, W - 1), dtype=bool)
+    for q in v.values():
+        valid &= np.isfinite(q)
+    case = np.zeros((H - 1, W - 1), dtype=np.int64)
+    for bit, key in ((1, (0, 0)), (2, (1, 0)), (4, (1, 1)), (8, (0, 1))):
+        case += bit * (v[key] >= L)
+    case[~valid] = 0
+    jj, ii = np.mgrid[0 : H - 1, 0 : W - 1]
+
+    def edge_pt(e: int, sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        (dxa, dya), (dxb, dyb) = _MS_CORNER[e]
+        va = v[(dxa, dya)][sel]
+        vb = v[(dxb, dyb)][sel]
+        t = (L - va) / (vb - va)
+        # fold the GLOBAL origin in BEFORE adding t: (g + i + dxa) is an
+        # exact integer float, so one final addition with t rounds the
+        # same whether the kernel ran on a tile window or the full
+        # raster (and the same as the oracle's global i + t)
+        x = (gx0 + ii[sel] + dxa) + t * (dxb - dxa)
+        y = (gy0 + jj[sel] + dya) + t * (dyb - dya)
+        return x, y
+
+    outs = []
+    for c, segs in _MS_LUT.items():
+        sel = case == c
+        if not sel.any():
+            continue
+        for ea, eb in segs:
+            x0, y0 = edge_pt(ea, sel)
+            x1, y1 = edge_pt(eb, sel)
+            outs.append(pd.DataFrame({
+                "bi": (gx0 + ii[sel]).astype(np.int64),
+                "bj": (gy0 + jj[sel]).astype(np.int64),
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            }))
+    if not outs:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(outs, ignore_index=True)
+
+
+def contour_segments(
+    tiles: DataFrame, T: int, level_value: float, band: str = "z"
+) -> DataFrame:
+    """Iso-contour segment extraction (gdal_contour analogue, one
+    level): marching squares over 2×2 cell blocks, each tile owning
+    the blocks whose TOP-LEFT cell lies in its core — blocks spanning
+    tile seams read the 1-deep halo, so every raster block is emitted
+    exactly once. ONE halo exchange + ONE applyInPandas; segments
+    never shuffle. (Chaining segments into polylines is the polygonize
+    ring-assembly pattern — segments are the verifiable core and the
+    driver-visible unit.)"""
+    exchanged = tiling.halo_exchange(
+        tiles.filter(F.col("band") == band), T, 1, wrap_nx=None
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = tiling.assemble_padded(pdf, T, 1)
+        if got is None:
+            return pd.DataFrame(
+                columns=["bi", "bj", "x0", "y0", "x1", "y1"]
+            )
+        bands, nr, nc = got
+        (_, padded), = bands.items()
+        tx, ty = int(key[0]), int(key[1])
+        # own blocks with top-left in the core: rows/cols [1, 1+nr) of
+        # the padded window, plus the right/bottom halo for the 2nd
+        # corner row — i.e. slice [1 : 2+nr), [1 : 2+nc)
+        win = padded[1 : 2 + nr, 1 : 2 + nc]
+        return contour_segments_kernel(
+            win, level_value, gx0=tx * T, gy0=ty * T
+        )
+
+    return exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
+        run, CONTOUR_SCHEMA
+    )
+
+
 def point_in_rings(
     px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]
 ) -> np.ndarray:

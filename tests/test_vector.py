@@ -160,3 +160,60 @@ def test_rasterize_lines_supercover_sandwich(spark):
             r.line_id, interior - cells, cells - closed,
         )
     assert got.get(n + 2, set()) == set()  # fully out of bounds
+
+
+def test_contour_segments_ramp_analytic(spark):
+    """Linear ramp z = x: the L=2.5 contour is exactly the x = 2.5
+    vertical line, one unit segment per block row."""
+    from engine.vector import contour_segments_kernel
+
+    a = np.tile(np.arange(8, dtype=float), (6, 1))
+    df = contour_segments_kernel(a, 2.5, 0, 0)
+    assert len(df) == 5  # 6 rows of cells -> 5 block rows
+    assert np.allclose(df.x0, 2.5) and np.allclose(df.x1, 2.5)
+    assert sorted(zip(df.y0, df.y1)) == [(float(k), float(k + 1)) for k in range(5)]
+
+
+def test_contour_closed_loop_and_nodata(spark):
+    """A radial bump's contour is a closed loop (every endpoint has
+    degree exactly 2); nodata corners drop their blocks."""
+    from collections import Counter
+
+    from engine.vector import contour_segments_kernel
+
+    yy, xx = np.mgrid[0:11, 0:11]
+    b = np.exp(-(((xx - 5.0) ** 2 + (yy - 5.0) ** 2) / 7.0))
+    df = contour_segments_kernel(b, 0.5, 0, 0)
+    deg = Counter()
+    for r in df.itertuples(index=False):
+        deg[(round(r.x0, 9), round(r.y0, 9))] += 1
+        deg[(round(r.x1, 9), round(r.y1, 9))] += 1
+    assert set(deg.values()) == {2}
+    b2 = b.copy()
+    b2[5, 3] = np.nan  # hole ON the contour: loop opens, blocks vanish
+    df2 = contour_segments_kernel(b2, 0.5, 0, 0)
+    assert 0 < len(df2) < len(df)
+
+
+def test_contour_distributed_matches_kernel(spark):
+    """Tiled extraction (1-halo, blocks owned by their top-left cell)
+    == the kernel on the whole array — seam blocks emitted exactly
+    once with identical interpolated coordinates."""
+    from engine import vector
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = {
+        (r.bi, r.bj, r.x0, r.y0, r.x1, r.y1)
+        for r in vector.contour_segments(tiles, 16, 2.0, band="z").collect()
+    }
+    want_df = vector.contour_segments_kernel(arr, 2.0, 0, 0)
+    want = {
+        (r.bi, r.bj, r.x0, r.y0, r.x1, r.y1)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
+    assert len(want) > 50  # the level-2 contour really crosses the DEM
