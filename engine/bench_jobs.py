@@ -97,17 +97,26 @@ def ensure_inputs(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(synthetic_points(spark, n_points), path)
     n_docs = int(32_000_000 * scale)
-    path = os.path.join(scratch, f"bench_docs_{n_docs}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _materialize(fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), path)
+    _ensure_typed_docs(spark, scratch, n_docs)
+
+
+def _ensure_typed_docs(spark: SparkSession, scratch: str, n_docs: int) -> str:
+    """Materialize the raw interleaved corpus AND its parsed typed
+    projection (doc_id, lat, lon) — the ONE recipe both ensure_inputs
+    and leg_pipeline_typed use, so the bench can never measure two
+    drifting input shapes. Returns the typed path."""
+    raw = os.path.join(scratch, f"bench_docs_{n_docs}")
+    if not os.path.exists(os.path.join(raw, "_SUCCESS")):
+        _materialize(fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), raw)
     typed = os.path.join(scratch, f"bench_docs_typed_{n_docs}")
     if not os.path.exists(os.path.join(typed, "_SUCCESS")):
         _materialize(
-            udfs.geocode_cols(spark.read.parquet(path)).select(
+            udfs.geocode_cols(spark.read.parquet(raw)).select(
                 "doc_id", "lat", "lon"
             ),
             typed,
         )
+    return typed
 
 
 def leg_focal(
@@ -174,20 +183,7 @@ def leg_pipeline_typed(
     span-string parse, whose JVM allocation rate is the measured
     single-box ceiling of the full composite (BENCH/BASELINE.md).
     Returns (docs, out_tiles, seconds)."""
-    path = os.path.join(scratch, f"bench_docs_typed_{n_docs}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        src = os.path.join(scratch, f"bench_docs_{n_docs}")
-        if not os.path.exists(os.path.join(src, "_SUCCESS")):
-            _materialize(
-                fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), src
-            )
-        _materialize(
-            udfs.geocode_cols(spark.read.parquet(src)).select(
-                "doc_id", "lat", "lon"
-            ),
-            path,
-        )
-    pts0 = spark.read.parquet(path)
+    pts0 = spark.read.parquet(_ensure_typed_docs(spark, scratch, n_docs))
     t0 = time.perf_counter()
     pts = udfs.with_cell_and_tile(pts0, level, T)
     tiles = tiling.rasterize(pts, T, level, stat="count")

@@ -40,6 +40,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _wal_name(part: str) -> str:
+    """Canonical filesystem-safe WAL filename for a partition value —
+    the SAME scheme for data-bearing and zero-row entries (two
+    spellings of one part would make wal_entries() keep an arbitrary
+    one)."""
+    from urllib.parse import quote
+
+    return quote(str(part), safe="")
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -185,18 +195,22 @@ class LakeTable:
             "params": (lineage or {}).get("params", {}),
             "code_version": code_version,
         }
-        done = {
-            p: e
-            for p, e in self.wal_entries(stage_key).items()
-            if e.get("lineage") == lin
-        }
-        skipped = len(done)
-        stage_data = os.path.join(self.data_dir, stage_key)
-        os.makedirs(stage_data, exist_ok=True)
         expected = (
             None if expected_parts is None
             else sorted(str(p) for p in expected_parts)
         )
+        done = {
+            p: e
+            for p, e in self.wal_entries(stage_key).items()
+            if e.get("lineage") == lin
+            # a declared domain bounds the snapshot on EVERY path: WAL
+            # entries outside it (earlier, broader runs) are ignored,
+            # so a fully-covered resume can't smuggle them in
+            and (expected is None or p in set(expected))
+        }
+        skipped = len(done)
+        stage_data = os.path.join(self.data_dir, stage_key)
+        os.makedirs(stage_data, exist_ok=True)
         if expected is not None and set(expected) <= set(done):
             # fully WAL-covered resume: no compute at all
             return self._commit_snapshot(
@@ -267,12 +281,15 @@ class LakeTable:
                     "lineage": lin,
                     "committed_at": time.time(),
                 }
-                # WAL filename uses the path-escaped form (filesystem-
-                # safe); matching keys use entry["part"] (canonical)
+                # ONE canonical WAL filename scheme (urllib quote) for
+                # data AND zero-row entries — Spark's path escaping
+                # differs (e.g. leaves spaces), and two spellings of
+                # the same part would race nondeterministically in
+                # wal_entries(); matching keys use entry["part"]
                 _atomic_write_json(
                     os.path.join(
                         self._wal_dir(stage_key),
-                        f"{dname.split('=', 1)[1]}.json",
+                        f"{_wal_name(part)}.json",
                     ),
                     entry,
                 )
@@ -285,8 +302,6 @@ class LakeTable:
                     f"stage {stage_key!r} wrote partitions outside "
                     f"expected_parts: {extra[:5]}"
                 )
-            from urllib.parse import quote
-
             for part in expected:
                 if part not in done:
                     entry = {
@@ -301,7 +316,7 @@ class LakeTable:
                     _atomic_write_json(
                         os.path.join(
                             self._wal_dir(stage_key),
-                            f"{quote(part, safe='')}.json",
+                            f"{_wal_name(part)}.json",
                         ),
                         entry,
                     )

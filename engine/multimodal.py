@@ -181,32 +181,43 @@ def extract_media_features(
     JVM side does the span filtering/explosion (no Python until the
     decode itself); the parent ``spans`` column is NOT projected away
     upstream of the explode, preserving the span-sequence invariant for
-    any downstream join back to the documents table. If ``docs`` has no
-    ``payload`` binary column (the production lakehouse layout), the
-    deterministic fixture payload is synthesized per media row —
-    real bytes either way; the decoder never sees the generator.
+    any downstream join back to the documents table. A ``payload``
+    binary column on ``docs`` (the production lakehouse layout: one
+    media payload per document row) is decoded AS IS — never
+    overridden; only when the column is absent (fixture path) is the
+    deterministic payload synthesized per media row. Real bytes either
+    way; the decoder never sees the generator.
     """
     kind_col = F.col("s.kind")
+    has_payload = "payload" in docs.columns
+    cols = ["doc_id"] + (["payload"] if has_payload else [])
     media = docs.select(
-        "doc_id",
+        *cols,
         F.explode(
             F.filter("spans", lambda s: s["media_ref"] != F.lit(""))
         ).alias("s"),
     ).filter(kind_col.isin(list(kinds))).select(
-        "doc_id", kind_col.alias("kind"), F.col("s.media_ref").alias("media_ref")
+        *cols, kind_col.alias("kind"), F.col("s.media_ref").alias("media_ref")
     )
 
-    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["payload"] = [
-                synth_payload(k, r) for k, r in zip(pdf["kind"], pdf["media_ref"])
-            ]
-            yield pdf
+    if not has_payload:
+        # fixture path only: real docs carry the binary payload column
+        # and it is NEVER overridden (geo spans have no payload either
+        # way — their data rides the ref string)
+        def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["payload"] = [
+                    synth_payload(k, r)
+                    for k, r in zip(pdf["kind"], pdf["media_ref"])
+                ]
+                yield pdf
 
-    media = media.mapInPandas(
-        synth, "doc_id string, kind string, media_ref string, payload binary"
-    )
+        media = media.mapInPandas(
+            synth, "doc_id string, kind string, media_ref string, payload binary"
+        )
+    else:
+        media = media.select("doc_id", "kind", "media_ref", "payload")
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -552,6 +552,9 @@ def warp_transform(
     )
     planned = planned.withColumn("_fan", fanout)
     if stats is not None:
+        # materialize once: the stats aggregation below would otherwise
+        # re-run the whole planning mapInPandas for the main query too
+        planned = planned.localCheckpoint(eager=True)
         mf = planned.agg(F.max("_fan")).collect()[0][0]
         stats["max_fanout_tiles"] = int(mf or 0)
         if mf is not None and mf > max_gather_tiles:

@@ -1651,12 +1651,30 @@ clipe AS (SELECT cid, {", ".join(
     f"CAST(e{k}{c} AS DOUBLE) AS e{k}{c}"
     for k in range(1, 5) for c in ("x0", "y0", "x1", "y1")
 )} FROM clipe0),
--- every (subject, clip) pair whose result survives the >=3 filter;
--- disjoint pairs clip to empty exactly as the engine's binned
--- candidate set implies (bbox-disjoint => empty intersection)
+-- the engine's grid-bin candidate set reduces to a bbox-overlap
+-- predicate (pairs in no shared bin have disjoint bboxes); the oracle
+-- mirrors that prune EXPLICITLY — Sutherland-Hodgman CAN emit a
+-- degenerate >=3-vertex zero-area ring for a disjoint pair, and a
+-- pair the engine never evaluates must not reach the final filter
+sbox AS (
+  SELECT sid, MIN(CAST(x AS DOUBLE)) AS x0, MAX(CAST(x AS DOUBLE)) AS x1,
+         MIN(CAST(y AS DOUBLE)) AS y0, MAX(CAST(y AS DOUBLE)) AS y1
+  FROM subjv GROUP BY sid
+),
+cbox AS (
+  SELECT cid,
+         LEAST(e1x0, e2x0, e3x0, e4x0) AS x0,
+         GREATEST(e1x0, e2x0, e3x0, e4x0) AS x1,
+         LEAST(e1y0, e2y0, e3y0, e4y0) AS y0,
+         GREATEST(e1y0, e2y0, e3y0, e4y0) AS y1
+  FROM clipe
+),
 s0 AS (
   SELECT s.sid, c.cid, s.k, CAST(s.x AS DOUBLE) AS x, CAST(s.y AS DOUBLE) AS y
-  FROM subjv s, (SELECT DISTINCT cid FROM clipe) c
+  FROM subjv s
+  JOIN sbox sb ON sb.sid = s.sid
+  JOIN cbox c ON sb.x0 <= c.x1 AND c.x0 <= sb.x1
+             AND sb.y0 <= c.y1 AND c.y0 <= sb.y1
 ),{",".join(stages)}
 SELECT a.sid AS a_id, a.cid AS b_id,
        CAST(COUNT(*) AS BIGINT) AS n_pts,

@@ -696,8 +696,12 @@ def neardup_clusters(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
 
 
 # min-label Jacobi mirror: self-loops make "own label" one more MIN arm;
-# 12 sweeps (fixture component diameters are ~1-3: LSH matches form
-# near-cliques; margin 4x)
+# 24 sweeps — LSH matches form near-cliques (observed label
+# eccentricity 1-3 at the driver scale factors), so this is an ~8x
+# margin; the ENGINE converges at any diameter (doubling + convergence
+# check), so a graph that ever outgrew the sweep budget would surface
+# as an oracle-side mismatch on CORRECT engine output — raise the
+# constant with the fixture, never lower the engine rounds
 Q37_SQL = f"""
 WITH RECURSIVE pairs AS (
   {Q18_SQL}
@@ -716,10 +720,10 @@ lab(it, doc, lab) AS (
   UNION ALL
   SELECT l.it + 1, e.d, MIN(l.lab)
   FROM lab l JOIN nedges e ON e.s = l.doc
-  WHERE l.it < 12
+  WHERE l.it < 24
   GROUP BY l.it + 1, e.d
 ),
-final AS (SELECT doc, lab FROM lab WHERE it = 12),
+final AS (SELECT doc, lab FROM lab WHERE it = 24),
 sizes AS (SELECT lab, COUNT(*) AS cluster_size FROM final GROUP BY 1)
 SELECT f.doc AS doc_id, f.lab AS cluster_id,
        CAST(s.cluster_size AS BIGINT) AS cluster_size,

@@ -120,3 +120,33 @@ def test_extract_media_features_spark(spark):
     np.testing.assert_allclose(
         r.feat[1], np.float32(len(s) / 4096.0), rtol=0, atol=0
     )
+
+
+def test_payload_column_decoded_as_is(spark):
+    """A docs table WITH a binary payload column (production layout) is
+    decoded verbatim — never overridden by the fixture synthesizer."""
+    import pandas as pd
+
+    payload = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1"],
+                "spans": [[{"kind": "image", "text": "",
+                            "media_ref": "img:whatever", "offset": 0}]],
+                "payload": [payload],
+            }
+        ),
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, payload binary",
+    )
+    rows = mm.extract_media_features(docs, kinds=("image",)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.n_frames) == (2, 1, 1)
+    # means of the HANDWRITTEN bytes, not anything md5-derived
+    np.testing.assert_allclose(
+        r.feat[0:3],
+        [np.float32((10 + 50) / 2 / 255.0), np.float32((20 + 60) / 2 / 255.0),
+         np.float32((30 + 70) / 2 / 255.0)],
+    )
