@@ -177,3 +177,16 @@ def test_backtrack_path_descends_and_terminates():
     cost2[:, 6] = np.nan
     D2 = cost_distance_kernel(cost2, lambda a: src)
     assert backtrack_path(cost2, D2, 5, 11) is None
+
+
+def test_cost_distance_plan_one_exchange(spark):
+    """Bounded Dijkstra cost distance is ONE halo exchange + one
+    applyInPandas — no iteration, no driver traffic."""
+    z = fixtures.dem_arith(size=48)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(2.0 + z, 16, band="cost"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    d = cost_distance(tiles, 16, cap=16, pred=lambda a: a < 1.0)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

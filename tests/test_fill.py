@@ -150,3 +150,17 @@ def test_fill_then_flow_pipeline(spark):
     np.testing.assert_array_equal(acc, want)
     acc_raw = brute_acc(brute_d8(arr))
     assert np.nanmax(acc) > np.nanmax(acc_raw)
+
+
+def test_fill_plan_one_exchange(spark):
+    """Bounded Priority-Flood is ONE halo exchange + one applyInPandas
+    — the EDT plan shape (no fixpoint, no plane re-shuffles)."""
+    from engine import fill, fixtures
+
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(fixtures.dem_pitted(48), 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    f = fill.fill_depressions(tiles, 16, cap=16)
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -127,3 +127,24 @@ def test_overlay_intersection_distributed_matches_kernel(spark):
                 want[(i, j)] = (len(xs), area_q, vsum)
     assert got == want
     assert len(want) >= 6  # the fixture really produces overlaps
+
+
+def test_overlay_plan_no_cartesian_one_clip_pass(spark):
+    """The candidate join is a grid-bin EQUI-join (never a cartesian
+    product), and the clip runs in ONE Python stage."""
+    from engine.overlay import overlay_intersection
+
+    ddl = "poly_id long, xs array<double>, ys array<double>"
+    a = spark.createDataFrame(
+        [(i, [0.0 + i, 5.0 + i, 5.0 + i, 0.0 + i], [0.0, 0.0, 5.0, 5.0])
+         for i in range(20)], ddl,
+    )
+    b = spark.createDataFrame(
+        [(j, [2.0 + j, 6.0 + j, 6.0 + j, 2.0 + j], [1.0, 1.0, 6.0, 6.0])
+         for j in range(20)], ddl,
+    )
+    out = overlay_intersection(a, b, spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

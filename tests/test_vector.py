@@ -217,3 +217,17 @@ def test_contour_distributed_matches_kernel(spark):
     }
     assert got == want
     assert len(want) > 50  # the level-2 contour really crosses the DEM
+
+
+def test_contour_plan_one_exchange(spark):
+    """Contour extraction is ONE halo exchange + one applyInPandas —
+    segments never shuffle."""
+    from engine import vector
+
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(fixtures.dem_arith(size=64), 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    c = vector.contour_segments(tiles, 16, 2.0, band="z")
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
