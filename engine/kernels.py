@@ -418,3 +418,61 @@ def focal_interspersion(class_arr: np.ndarray, r: int, shape: Shape = "square") 
     out /= math.log(n_pairs) if n_pairs > 1 else 1.0
     out[total == 0] = np.nan
     return out
+
+
+# ---------------------------------------------------------------------------
+# generic 3x3 convolution filters (round 4): the classic image-algebra
+# derivative kernels every raster calculator exposes. Pinned rules
+# (mirrored by the sq_terrain oracle): valid iff ALL NINE 3x3 cells are
+# finite (the terrain family's rule — derivative taps with missing data
+# are meaningless); fold orders pinned exactly as written.
+# ---------------------------------------------------------------------------
+
+
+def _nine(arr: np.ndarray):
+    a = np.asarray(arr, dtype=np.float64)
+    H, W = a.shape
+    if H < 3 or W < 3:
+        return None
+    nw, n, ne = a[:-2, :-2], a[:-2, 1:-1], a[:-2, 2:]
+    w, c, e = a[1:-1, :-2], a[1:-1, 1:-1], a[1:-1, 2:]
+    sw, s, se = a[2:, :-2], a[2:, 1:-1], a[2:, 2:]
+    valid = (
+        np.isfinite(c)
+        & np.isfinite(n) & np.isfinite(s) & np.isfinite(w) & np.isfinite(e)
+        & np.isfinite(nw) & np.isfinite(ne) & np.isfinite(sw) & np.isfinite(se)
+    )
+    return (nw, n, ne, w, c, e, sw, s, se), valid, (H, W)
+
+
+def _conv_out(core: np.ndarray, valid: np.ndarray, hw) -> np.ndarray:
+    out = np.full(hw, np.nan)
+    out[1:-1, 1:-1] = np.where(valid, core, np.nan)
+    return out
+
+
+def focal_sobel_x(arr: np.ndarray, r: int = 1, shape: str = "square") -> np.ndarray:
+    """Sobel horizontal derivative: (ne + 2e + se) − (nw + 2w + sw)."""
+    got = _nine(arr)
+    if got is None:
+        return np.full(np.asarray(arr, dtype=np.float64).shape, np.nan)
+    (nw, n, ne, w, c, e, sw, s, se), valid, hw = got
+    return _conv_out((ne + 2.0 * e + se) - (nw + 2.0 * w + sw), valid, hw)
+
+
+def focal_sobel_y(arr: np.ndarray, r: int = 1, shape: str = "square") -> np.ndarray:
+    """Sobel vertical derivative (y-down): (sw + 2s + se) − (nw + 2n + ne)."""
+    got = _nine(arr)
+    if got is None:
+        return np.full(np.asarray(arr, dtype=np.float64).shape, np.nan)
+    (nw, n, ne, w, c, e, sw, s, se), valid, hw = got
+    return _conv_out((sw + 2.0 * s + se) - (nw + 2.0 * n + ne), valid, hw)
+
+
+def focal_laplacian(arr: np.ndarray, r: int = 1, shape: str = "square") -> np.ndarray:
+    """4-neighbor Laplacian: (((n + s) + w) + e) − 4z (pinned fold)."""
+    got = _nine(arr)
+    if got is None:
+        return np.full(np.asarray(arr, dtype=np.float64).shape, np.nan)
+    (nw, n, ne, w, c, e, sw, s, se), valid, hw = got
+    return _conv_out((((n + s) + w) + e) - 4.0 * c, valid, hw)

@@ -605,7 +605,7 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     terrain/flow module docstrings; the oracle regenerates the DEM,
     differentiates it with a 9-offset neighbor join, and replays the
     flow paths with a recursive CTE."""
-    from engine import fixtures, flow, terrain, tiling
+    from engine import fixtures, flow, kernels, terrain, tiling
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
@@ -614,8 +614,17 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         fixtures.tiles_rows_from_array(arr, 16, band="z"),
         fixtures.TILES_SCHEMA_DDL,
     )
+    # round 4: the generic 3x3 convolution filters ride the SAME halo
+    # pass as the terrain family (one exchange, one applyInPandas)
     out = tiling.apply_focal(
-        tiles, 1, "square", dict(terrain.TERRAIN_KERNELS), 16, level=10
+        tiles, 1, "square",
+        {
+            **terrain.TERRAIN_KERNELS,
+            "sobelx": kernels.focal_sobel_x,
+            "sobely": kernels.focal_sobel_y,
+            "laplace": kernels.focal_laplacian,
+        },
+        16, level=10,
     )
     dir_tiles = flow.flow_direction(tiles, 16, level=10)
     acc_tiles = flow.flow_accumulation(
@@ -732,7 +741,11 @@ vals AS MATERIALIZED (
          -- general curvature (Zevenbergen–Thorne / ESRI): −2(D+E)·100,
          -- D = ((w+e)/2 − z)/L², E = ((n+s)/2 − z)/L², L = 1
          -2.0 * (((wz + ez) / 2.0 - z) + ((nz + sz) / 2.0 - z)) * 100.0
-           AS curv
+           AS curv,
+         -- round-4 convolution filters, pinned folds (engine/kernels)
+         (nez + 2.0 * ez + sez) - (nwz + 2.0 * wz + swz) AS sobelx,
+         (swz + 2.0 * sz + sez) - (nwz + 2.0 * nz + nez) AS sobely,
+         (((nz + sz) + wz) + ez) - 4.0 * z AS laplace
   FROM grad WHERE nn = 9
 ),
 tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty)),
@@ -916,6 +929,18 @@ FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'curvature',
        COUNT(v.curv), ROUND(COALESCE(SUM(CAST(ROUND(v.curv * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'sobelx',
+       COUNT(v.sobelx), ROUND(COALESCE(SUM(CAST(ROUND(v.sobelx * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'sobely',
+       COUNT(v.sobely), ROUND(COALESCE(SUM(CAST(ROUND(v.sobely * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'laplace',
+       COUNT(v.laplace), ROUND(COALESCE(SUM(CAST(ROUND(v.laplace * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN vals v ON v.tx = t.tx AND v.ty = t.ty GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowdir',

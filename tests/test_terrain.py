@@ -148,3 +148,29 @@ def test_terrain_round3_tiled_pipeline(spark):
             got, want, rtol=1e-12, atol=1e-12, equal_nan=True,
             err_msg=f"{r.band} tile ({r.tile_x},{r.tile_y})",
         )
+
+
+def test_convolution_filters_brute():
+    """Sobel x/y and the 4-neighbor Laplacian == per-cell brute
+    convolution with the all-nine-valid rule, on the speckled DEM."""
+    from engine.kernels import focal_laplacian, focal_sobel_x, focal_sobel_y
+
+    arr = fixtures.dem_arith(size=32)
+    H, W = arr.shape
+    wx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=float)
+    wy = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], dtype=float)
+    wl = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=float)
+    for fn, wgt in ((focal_sobel_x, wx), (focal_sobel_y, wy),
+                    (focal_laplacian, wl)):
+        got = fn(arr)
+        want = np.full((H, W), np.nan)
+        for j in range(1, H - 1):
+            for i in range(1, W - 1):
+                win = arr[j - 1 : j + 2, i - 1 : i + 2]
+                if np.isfinite(win).all():
+                    want[j, i] = float((win * wgt).sum())
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+            rtol=0, atol=1e-12,
+        )
+        assert np.isfinite(got).sum() > 400
