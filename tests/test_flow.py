@@ -151,7 +151,7 @@ def test_flow_accumulation_long_chain_plan_shape(spark):
     np.testing.assert_allclose(got, want, equal_nan=True)
     assert want.max() == 512
     # 64-tile border chain resolves in ~log2 rounds (doubling), with
-    # slack for the final all-null detection round
+    # headroom for the final all-null detection round
     assert 1 <= stats["rounds"] <= 9, stats
 
 
