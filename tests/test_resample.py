@@ -464,3 +464,37 @@ def test_warp_transform_domain_nan_and_fanout_guard(spark):
         resample.warp_transform(
             tiles, 16, inv_minify, (4, 4), max_gather_tiles=4, stats=stats
         )
+
+
+def test_warp_transform_sinusoidal_golden(spark):
+    """Sinusoidal (equal-area) -> plate-carrée reprojection: a second
+    genuinely non-affine inverse map exercised end to end. Inverse of
+    'output is equirectangular, source is sinusoidal': source column
+    depends on cos(latitude) — rows compress toward the poles."""
+    import numpy as np
+
+    from engine import fixtures, resample
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+
+    def inv_sinu(gx, gy):
+        # output pixel -> lat in (-90, 90), lon in (-180, 180)
+        lat = 90.0 - gy / 64.0 * 180.0
+        lon = gx / 64.0 * 360.0 - 180.0
+        # sinusoidal source: x = lon * cos(lat) mapped onto 64 cols
+        p_i = (lon * np.cos(np.radians(lat)) + 180.0) / 360.0 * 64.0
+        p_j = (90.0 - lat) / 180.0 * 64.0
+        return p_i, p_j
+
+    got = _plane(
+        resample.warp_transform(tiles, 16, inv_sinu, (64, 64)), 16, 64, 64
+    )
+    want = brute_transform_nearest(arr, inv_sinu, (64, 64))
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9)
+    )
+    assert np.isfinite(want).sum() > 2000
