@@ -97,19 +97,30 @@ def ensure_inputs(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _materialize(synthetic_points(spark, n_points), path)
     n_docs = int(32_000_000 * scale)
+    # raw corpus first (leg_pipeline reads it directly), then typed
+    _ensure_raw_docs(spark, scratch, n_docs)
     _ensure_typed_docs(spark, scratch, n_docs)
 
 
-def _ensure_typed_docs(spark: SparkSession, scratch: str, n_docs: int) -> str:
-    """Materialize the raw interleaved corpus AND its parsed typed
-    projection (doc_id, lat, lon) — the ONE recipe both ensure_inputs
-    and leg_pipeline_typed use, so the bench can never measure two
-    drifting input shapes. Returns the typed path."""
+def _ensure_raw_docs(spark: SparkSession, scratch: str, n_docs: int) -> str:
     raw = os.path.join(scratch, f"bench_docs_{n_docs}")
     if not os.path.exists(os.path.join(raw, "_SUCCESS")):
-        _materialize(fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), raw)
+        _materialize(
+            fixtures.documents_geo(spark, n_docs, seed=42, n_parts=64), raw
+        )
+    return raw
+
+
+def _ensure_typed_docs(spark: SparkSession, scratch: str, n_docs: int) -> str:
+    """Materialize the parsed typed projection (doc_id, lat, lon) — the
+    ONE recipe both ensure_inputs and leg_pipeline_typed use, so the
+    bench can never measure two drifting input shapes. The raw corpus
+    is built only when the typed table must be (re)derived — a scratch
+    dir keeping just the typed table skips all generation. Returns the
+    typed path."""
     typed = os.path.join(scratch, f"bench_docs_typed_{n_docs}")
     if not os.path.exists(os.path.join(typed, "_SUCCESS")):
+        raw = _ensure_raw_docs(spark, scratch, n_docs)
         _materialize(
             udfs.geocode_cols(spark.read.parquet(raw)).select(
                 "doc_id", "lat", "lon"

@@ -57,6 +57,14 @@ def cost_distance_kernel(
     a = np.asarray(cost, dtype=np.float64)
     H, W = a.shape
     valid = np.isfinite(a)
+    # strictly positive costs are the operator's contract: a zero-cost
+    # plateau would make D non-strictly-decreasing along paths and the
+    # cost_path backtrack could cycle forever — fail loudly instead
+    if valid.any() and float(a[valid].min()) <= 0.0:
+        raise ValueError(
+            "cost raster must be strictly positive (NaN = barrier); "
+            f"min finite cost = {a[valid].min()!r}"
+        )
     src = np.asarray(pred(a), dtype=bool) & valid
     D = np.full((H, W), np.inf)
     D[src] = 0.0
@@ -97,7 +105,13 @@ def backtrack_path(
     if not np.isfinite(D[j, i]):
         return None
     path = [(j, i)]
+    max_steps = D.size  # a simple path can't revisit cells
     while D[j, i] > 0.0:
+        if len(path) > max_steps:
+            raise RuntimeError(
+                "cost_path: backtrack exceeded the cell count — "
+                "non-decreasing D (corrupt surface?)"
+            )
         best, bj, bi = np.inf, -1, -1
         cu = cost[j, i]
         for dj, di, dist in _N8:
@@ -119,7 +133,6 @@ def cost_path(
     cap: int,
     source_pred: Callable[[np.ndarray], np.ndarray],
     dest_pred,
-    level: int = 0,
     wrap_nx: int | None = None,
 ) -> DataFrame:
     """Least-cost PATHS (ESRI CostPath): for every destination cell in
@@ -161,12 +174,18 @@ def cost_path(
                 continue
             pj = np.array([p[0] for p in path], dtype=np.int64)
             pi = np.array([p[1] for p in path], dtype=np.int64)
+            # global coords: window origin is (ty*T - cap, tx*T - cap);
+            # with wrap_nx, halo cells left of column 0 are wrapped
+            # copies — reduce mod the global width so the checksum
+            # reports true global columns
+            gcols = pi + tx * T - cap
+            if wrap_nx is not None:
+                gcols %= wrap_nx * T
             rows.append({
                 "dest_i": int(gi[lj, li]), "dest_j": int(gj[lj, li]),
                 "n_steps": len(path) - 1,
                 "total_cost": float(D[wj, wi]),
-                # global coords: window origin is (ty*T - cap, tx*T - cap)
-                "sum_i": int((pi + tx * T - cap).sum()),
+                "sum_i": int(gcols.sum()),
                 "sum_j": int((pj + ty * T - cap).sum()),
             })
         return pd.DataFrame(rows, columns=cols)

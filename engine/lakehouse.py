@@ -199,6 +199,7 @@ class LakeTable:
             None if expected_parts is None
             else sorted(str(p) for p in expected_parts)
         )
+        expected_set = None if expected is None else set(expected)
         done = {
             p: e
             for p, e in self.wal_entries(stage_key).items()
@@ -206,12 +207,12 @@ class LakeTable:
             # a declared domain bounds the snapshot on EVERY path: WAL
             # entries outside it (earlier, broader runs) are ignored,
             # so a fully-covered resume can't smuggle them in
-            and (expected is None or p in set(expected))
+            and (expected_set is None or p in expected_set)
         }
         skipped = len(done)
         stage_data = os.path.join(self.data_dir, stage_key)
         os.makedirs(stage_data, exist_ok=True)
-        if expected is not None and set(expected) <= set(done):
+        if expected_set is not None and expected_set <= set(done):
             # fully WAL-covered resume: no compute at all
             return self._commit_snapshot(
                 stage_key, partition_col, done, skipped, pending_n=0

@@ -143,6 +143,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     (width, height, n_frames, feat[8]) — the pinned semantics above."""
     widths, heights, frames, feats = [], [], [], []
     for kind, ref, payload in zip(pdf["kind"], pdf["media_ref"], pdf["payload"]):
+        if payload is None and kind != "geo":
+            raise ValueError(
+                f"NULL payload for {kind} span {ref!r} — the payload "
+                "column must carry the doc's binary media (see the "
+                "payload-column contract in extract_media_features)"
+            )
         feat = np.zeros(FEAT_DIM, dtype=np.float32)
         if kind == "image":
             w, h, px = decode_ppm(bytes(payload))
@@ -182,11 +188,18 @@ def extract_media_features(
     decode itself); the parent ``spans`` column is NOT projected away
     upstream of the explode, preserving the span-sequence invariant for
     any downstream join back to the documents table. A ``payload``
-    binary column on ``docs`` (the production lakehouse layout: one
-    media payload per document row) is decoded AS IS — never
-    overridden; only when the column is absent (fixture path) is the
-    deterministic payload synthesized per media row. Real bytes either
-    way; the decoder never sees the generator.
+    binary column on ``docs`` (the production lakehouse layout) is
+    decoded AS IS — never overridden; only when the column is absent
+    (fixture path) is the deterministic payload synthesized per media
+    row. Real bytes either way; the decoder never sees the generator.
+
+    Payload-column contract (pinned): the doc-level payload belongs to
+    that document's SINGLE binary-media span — a doc with several
+    binary spans would broadcast one payload to all of them, so decode
+    raises on NULL payloads and on payload/kind format mismatches
+    (decode_ppm/decode_wav validate magic bytes) rather than producing
+    silently wrong features. Multi-media documents need per-span
+    payloads (a spans-adjacent binary array) — not modeled in v1.
     """
     kind_col = F.col("s.kind")
     has_payload = "payload" in docs.columns

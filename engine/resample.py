@@ -552,9 +552,11 @@ def warp_transform(
     )
     planned = planned.withColumn("_fan", fanout)
     if stats is not None:
-        # materialize once: the stats aggregation below would otherwise
-        # re-run the whole planning mapInPandas for the main query too
-        planned = planned.localCheckpoint(eager=True)
+        # the stats aggregation runs the (metadata-only) planning pass
+        # an extra time — deliberately NOT checkpointed/persisted: a
+        # checkpoint pins non-recomputable blocks (executor loss kills
+        # the query) and the plan is ny·nx ROWS of boundary samples,
+        # cheap next to the warp itself; stats is a diagnostic path
         mf = planned.agg(F.max("_fan")).collect()[0][0]
         stats["max_fanout_tiles"] = int(mf or 0)
         if mf is not None and mf > max_gather_tiles:
