@@ -158,6 +158,24 @@ def focal_mean(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
     return out
 
 
+def focal_std(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+    """Population focal standard deviation over the valid window
+    cells: sqrt(max(0, Σx²/n − (Σx/n)²)) — pinned expression order
+    (mirrored by the sq_focal_multi 'std' oracle); NaN when the window
+    has no valid cell. Two chord-sum passes (x and x²) + the count —
+    the same single-exchange cost class as mean."""
+    a = np.asarray(arr, dtype=np.float64)
+    s = focal_sum(a, r, shape)
+    s2 = focal_sum(a * a, r, shape)
+    c = focal_count(a, r, shape)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m = s / c
+        var = s2 / c - m * m
+    out = np.sqrt(np.maximum(var, 0.0))
+    out[c == 0] = np.nan
+    return out
+
+
 # ---------------------------------------------------------------------------
 # W3: distance-weighted mean (FFT correlation with a weight mask)
 # ---------------------------------------------------------------------------

@@ -147,6 +147,10 @@ def sq_focal_multi(spark: SparkSession, sf: str) -> DataFrame:
         "sum": kernels.focal_sum,
         "max": lambda a, r, s: kernels.focal_extremum(a, r, s, "max"),
         "wmean_gauss": lambda a, r, s: kernels.focal_weighted_mean(a, r, "gaussian"),
+        # round 4: population std — exact on this integer-count raster
+        # (SAT partial sums of ints are order-free), so the oracle's
+        # contribution-form sums land bit-identically
+        "std": kernels.focal_std,
     }
     out = tiling.apply_focal(
         tiles, 5, "square", stats, T, level=level, wrap_nx=(2**level) // T
@@ -172,7 +176,8 @@ dk AS (
 ),
 csq AS (
   SELECT (((c.gi + o.di) % 512) + 512) % 512 AS gi, c.gj + o.dj AS gj,
-         SUM(c.v) AS s, MAX(c.v) AS mx
+         SUM(c.v) AS s, MAX(c.v) AS mx, SUM(c.v * c.v) AS s2,
+         COUNT(*) AS n
   FROM cnt c CROSS JOIN sq o GROUP BY 1, 2
 ),
 cwt AS (
@@ -191,6 +196,17 @@ UNION ALL
 SELECT CAST(p.tx AS INT), CAST(p.ty AS INT), 'wmean_gauss',
        COUNT(c.num), ROUND(COALESCE(SUM(c.num / c.den), 0.0), 4)
 FROM px p LEFT JOIN cwt c ON c.gi = p.gi AND c.gj = p.gj GROUP BY 1, 2
+UNION ALL
+-- std over VALID cells only (docless pixels are nodata in the engine's
+-- sparse count raster, NOT zeros): n = contributing doc pixels in the
+-- window; a center with an empty window is invalid (NULL-excluded)
+SELECT CAST(p.tx AS INT), CAST(p.ty AS INT), 'std',
+       COUNT(c.n),
+       ROUND(COALESCE(SUM(
+         SQRT(GREATEST(c.s2 / c.n - (c.s / c.n) * (c.s / c.n), 0.0))
+       ), 0.0), 4)
+FROM px p LEFT JOIN csq c ON c.gi = p.gi AND c.gj = p.gj
+GROUP BY 1, 2
 """
 
 

@@ -62,6 +62,7 @@ KERNELS = {
     "sum": kernels.focal_sum,
     "count": kernels.focal_count,
     "mean": kernels.focal_mean,
+    "std": kernels.focal_std,
     "min": partial(kernels.focal_extremum, mode="min"),
     "max": partial(kernels.focal_extremum, mode="max"),
     "richness": kernels.focal_richness,

@@ -305,3 +305,39 @@ def test_focal_annulus_registry(spark):
             np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
             rtol=1e-9, atol=1e-9,
         )
+
+
+def test_focal_std_brute():
+    """Population std over valid window cells == per-cell brute
+    recount, dense DEM with NaN speckle, square and circle windows."""
+    from engine import fixtures
+    from engine.kernels import focal_std
+
+    arr = fixtures.dem_arith(size=32)
+    H, W = arr.shape
+    for shape in ("square", "circle"):
+        got = focal_std(arr, 3, shape)
+        offs = [
+            (dy, dx)
+            for dy in range(-3, 4) for dx in range(-3, 4)
+            if shape == "square" or dy * dy + dx * dx <= 9
+        ]
+        want = np.full((H, W), np.nan)
+        for j in range(H):
+            for i in range(W):
+                vals = [
+                    arr[j + dy, i + dx]
+                    for dy, dx in offs
+                    if 0 <= j + dy < H and 0 <= i + dx < W
+                    and np.isfinite(arr[j + dy, i + dx])
+                ]
+                if vals:
+                    v = np.array(vals)
+                    want[j, i] = np.sqrt(
+                        max(0.0, (v * v).sum() / len(v) - (v.sum() / len(v)) ** 2)
+                    )
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+            rtol=0, atol=1e-9,
+        )
+        assert np.nanmax(got) > 0.1
