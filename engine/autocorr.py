@@ -51,7 +51,17 @@ def moran_i(
     band: str,
     wrap_nx: int | None = None,
 ) -> DataFrame:
-    """One-row result: (n_cells, w_pairs, moran_i)."""
+    """One-row result: (n_cells, w_pairs, moran_i, geary_c, getis_g).
+
+    All three global statistics share the two passes — Geary's C and
+    the global Getis-Ord G cost two extra per-tile scalars, not an
+    extra shuffle:
+
+        C = ((n-1) / 2W) * sum_ij w_ij (x_i - x_j)^2 / sum_i dev_i^2
+        G = sum_ij w_ij x_i x_j / sum_{i != j} x_i x_j
+          (pairwise denominator = (sum x)^2 - sum x^2; the usual
+           convention assumes x >= 0 — reported as-is otherwise)
+    """
     sub = tiles.filter(F.col("band") == band)
 
     def mean_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,43 +72,64 @@ def moran_i(
             v = np.concatenate(vs)
             v = v[np.isfinite(v)]
             if len(v):
-                yield pd.DataFrame({"n": [len(v)], "s": [v.sum()]})
+                yield pd.DataFrame(
+                    {"n": [len(v)], "s": [v.sum()], "s2": [(v * v).sum()]}
+                )
 
     mrow = (
         sub.select("data")
-        .mapInPandas(mean_partials, "n long, s double")
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .mapInPandas(mean_partials, "n long, s double, s2 double")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"),
+        )
         .collect()[0]
     )
     xbar = float(mrow.s) / int(mrow.n)
+    # sum over ALL ordered pairs i != j of x_i * x_j (Getis-Ord G
+    # denominator): (sum x)^2 - sum x^2 — global scalars, no pair scan.
+    g_den = float(mrow.s) ** 2 - float(mrow.s2)
 
     exchanged = tiling.halo_exchange(sub, T, 1, wrap_nx)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         got = tiling.assemble_padded(pdf, T, 1)
         if got is None:
-            return pd.DataFrame(columns=["num", "den", "w", "n"])
+            return pd.DataFrame(
+                columns=["num", "den", "w", "n", "cnum", "gnum"]
+            )
         bands, nr, nc = got
         (_, z), = bands.items()
         c = z[1 : 1 + nr, 1 : 1 + nc]
         valid = np.isfinite(c)
         nbr_sum = np.zeros_like(c)
         deg = np.zeros_like(c)
+        cnum = 0.0
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             nb = z[1 + dy : 1 + dy + nr, 1 + dx : 1 + dx + nc]
             ok = np.isfinite(nb)
             nbr_sum += np.where(ok, nb, 0.0)
             deg += ok
+            # Geary numerator: (x_i - x_j)^2 over directed valid pairs
+            # (cross-tile reverse direction is counted by the owner of
+            # the other endpoint, exactly like W)
+            d = np.where(ok & valid, c - np.where(ok, nb, 0.0), 0.0)
+            cnum += float(np.sum(d * d))
         dev = np.where(valid, c - xbar, 0.0)
         num = float(np.sum(dev * (nbr_sum - deg * xbar) * valid))
         den = float(np.sum(dev * dev))
         w = int(np.sum(deg[valid]))
+        gnum = float(np.sum(np.where(valid, c, 0.0) * nbr_sum))
         return pd.DataFrame(
-            {"num": [num], "den": [den], "w": [w], "n": [int(valid.sum())]}
+            {
+                "num": [num], "den": [den], "w": [w],
+                "n": [int(valid.sum())], "cnum": [cnum], "gnum": [gnum],
+            }
         )
 
     part = exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
-        run, "num double, den double, w long, n long"
+        run, "num double, den double, w long, n long, cnum double, gnum double"
     )
     n, w = F.sum("n"), F.sum("w")
     return part.agg(
@@ -107,4 +138,9 @@ def moran_i(
         F.round(
             (n.cast("double") / w) * F.sum("num") / F.sum("den"), 6
         ).alias("moran_i"),
+        F.round(
+            ((n.cast("double") - 1) / (2 * w)) * F.sum("cnum") / F.sum("den"),
+            6,
+        ).alias("geary_c"),
+        F.round(F.sum("gnum") / F.lit(g_den), 6).alias("getis_g"),
     )

@@ -1731,9 +1731,11 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 3
 
 
 def sq_moran(spark: SparkSession, sf: str) -> DataFrame:
-    """Global Moran's I (engine/autocorr.py) of the arithmetic DEM
-    under rook weights: two map-side-partial passes (mean, then one
-    1-halo exchange reducing each tile to 4 scalars)."""
+    """Global spatial autocorrelation suite (engine/autocorr.py) of
+    the arithmetic DEM under rook weights — Moran's I, Geary's C, and
+    global Getis-Ord G from the SAME two map-side-partial passes
+    (mean/moments, then one 1-halo exchange reducing each tile to six
+    scalars)."""
     from engine import autocorr
     from engine.deploy import ensure_shipped
 
@@ -1743,10 +1745,12 @@ def sq_moran(spark: SparkSession, sf: str) -> DataFrame:
 
 SQ_MORAN_SQL = f"""
 WITH {_DEM_SQL},
-s AS (SELECT AVG(z) AS xb, COUNT(*) AS n FROM dem),
+s AS (SELECT AVG(z) AS xb, COUNT(*) AS n,
+             SUM(z) AS sz, SUM(z * z) AS sz2 FROM dem),
 nb AS (
   SELECT a.i, a.j, a.z,
-         COUNT(b.z) AS deg, COALESCE(SUM(b.z), 0) AS ns
+         COUNT(b.z) AS deg, COALESCE(SUM(b.z), 0) AS ns,
+         COALESCE(SUM((a.z - b.z) * (a.z - b.z)), 0) AS cn
   FROM dem a
   LEFT JOIN dem b
     ON (b.i = a.i AND ABS(b.j - a.j) = 1)
@@ -1757,7 +1761,12 @@ SELECT MAX(s.n) AS n_cells,
        CAST(SUM(nb.deg) AS BIGINT) AS w_pairs,
        ROUND((CAST(MAX(s.n) AS DOUBLE) / SUM(nb.deg))
              * SUM((nb.z - s.xb) * (nb.ns - nb.deg * s.xb))
-             / SUM((nb.z - s.xb) * (nb.z - s.xb)), 6) AS moran_i
+             / SUM((nb.z - s.xb) * (nb.z - s.xb)), 6) AS moran_i,
+       ROUND(((CAST(MAX(s.n) AS DOUBLE) - 1) / (2 * SUM(nb.deg)))
+             * SUM(nb.cn)
+             / SUM((nb.z - s.xb) * (nb.z - s.xb)), 6) AS geary_c,
+       ROUND(SUM(nb.z * nb.ns)
+             / (MAX(s.sz) * MAX(s.sz) - MAX(s.sz2)), 6) AS getis_g
 FROM nb, s
 """
 

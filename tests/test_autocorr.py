@@ -9,12 +9,12 @@ import pytest
 from engine import autocorr, fixtures
 
 
-def brute_moran(arr: np.ndarray) -> tuple[int, int, float]:
+def brute_moran(arr: np.ndarray) -> tuple[int, int, float, float, float]:
     H, W = arr.shape
     valid = np.isfinite(arr)
     v = arr[valid]
     n, xb = int(valid.sum()), v.mean()
-    num = 0.0
+    num = cnum = gnum = 0.0
     w = 0
     for y in range(H):
         for x in range(W):
@@ -24,9 +24,17 @@ def brute_moran(arr: np.ndarray) -> tuple[int, int, float]:
                 yy, xx = y + dy, x + dx
                 if 0 <= yy < H and 0 <= xx < W and valid[yy, xx]:
                     num += (arr[y, x] - xb) * (arr[yy, xx] - xb)
+                    cnum += (arr[y, x] - arr[yy, xx]) ** 2
+                    gnum += arr[y, x] * arr[yy, xx]
                     w += 1
     den = float(((v - xb) ** 2).sum())
-    return n, w, (n / w) * num / den
+    g_den = float(v.sum()) ** 2 - float((v * v).sum())
+    return (
+        n, w,
+        (n / w) * num / den,
+        ((n - 1) / (2 * w)) * cnum / den,
+        gnum / g_den,
+    )
 
 
 @pytest.mark.parametrize("size,T", [(64, 16), (48, 32)])
@@ -37,10 +45,12 @@ def test_moran_matches_bruteforce(spark, size, T):
         fixtures.TILES_SCHEMA_DDL,
     )
     got = autocorr.moran_i(tiles, T, band="z").toPandas().iloc[0]
-    n, w, i = brute_moran(arr)
+    n, w, i, c, g = brute_moran(arr)
     assert got.n_cells == n
     assert got.w_pairs == w
     np.testing.assert_allclose(got.moran_i, i, atol=2e-6)
+    np.testing.assert_allclose(got.geary_c, c, atol=2e-6)
+    np.testing.assert_allclose(got.getis_g, g, atol=2e-6)
 
 
 def test_moran_checkerboard_negative(spark):
@@ -55,3 +65,8 @@ def test_moran_checkerboard_negative(spark):
     )
     got = autocorr.moran_i(tiles, 16, band="z").toPandas().iloc[0]
     np.testing.assert_allclose(got.moran_i, -1.0, atol=1e-9)
+    # every neighbor diff is +-2 -> C = ((n-1)/2W) * 4W / n = 2(n-1)/n
+    np.testing.assert_allclose(got.geary_c, 2 * 1023 / 1024, atol=1e-9)
+    # gnum = -W (every neighbor product is -1), pair denominator
+    # = (sum x)^2 - sum x^2 = 0 - n  ->  G = W / n
+    np.testing.assert_allclose(got.getis_g, 3968 / 1024, atol=1e-9)
