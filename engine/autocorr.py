@@ -42,7 +42,39 @@ from pyspark.sql import functions as F
 
 from engine import tiling
 
-__all__ = ["moran_i"]
+__all__ = ["band_moments", "moran_i"]
+
+
+def band_moments(tiles: DataFrame, band: str) -> tuple[int, float, float]:
+    """Global (n, sum, sum-of-squares) over the valid cells of one
+    band — ONE map-side-partial pass (per-batch NumPy reduction via
+    mapInPandas, one single-row agg, one scalar collect; constant
+    driver traffic at any raster size)."""
+    sub = tiles.filter(F.col("band") == band)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
+            if not vs:
+                continue
+            v = np.concatenate(vs)
+            v = v[np.isfinite(v)]
+            if len(v):
+                yield pd.DataFrame(
+                    {"n": [len(v)], "s": [v.sum()], "s2": [(v * v).sum()]}
+                )
+
+    row = (
+        sub.select("data")
+        .mapInPandas(partials, "n long, s double, s2 double")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), float(row.s), float(row.s2)
 
 
 def moran_i(
@@ -64,32 +96,11 @@ def moran_i(
     """
     sub = tiles.filter(F.col("band") == band)
 
-    def mean_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vs = [np.asarray(d, dtype=np.float64) for d in pdf["data"]]
-            if not vs:
-                continue
-            v = np.concatenate(vs)
-            v = v[np.isfinite(v)]
-            if len(v):
-                yield pd.DataFrame(
-                    {"n": [len(v)], "s": [v.sum()], "s2": [(v * v).sum()]}
-                )
-
-    mrow = (
-        sub.select("data")
-        .mapInPandas(mean_partials, "n long, s double, s2 double")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("s").alias("s"),
-            F.sum("s2").alias("s2"),
-        )
-        .collect()[0]
-    )
-    xbar = float(mrow.s) / int(mrow.n)
+    n_glob, s_glob, s2_glob = band_moments(tiles, band)
+    xbar = s_glob / n_glob
     # sum over ALL ordered pairs i != j of x_i * x_j (Getis-Ord G
     # denominator): (sum x)^2 - sum x^2 — global scalars, no pair scan.
-    g_den = float(mrow.s) ** 2 - float(mrow.s2)
+    g_den = s_glob**2 - s2_glob
 
     exchanged = tiling.halo_exchange(sub, T, 1, wrap_nx)
 

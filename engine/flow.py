@@ -145,17 +145,22 @@ def _receivers(dirs: np.ndarray):
 
 
 def _solve_tile(
-    dirs: np.ndarray, inflow: np.ndarray
+    dirs: np.ndarray, inflow: np.ndarray, weight: np.ndarray | None = None
 ) -> tuple[np.ndarray, list[tuple[int, int, int, float]]]:
     """Kahn-wave accumulation inside one tile. dirs: (nr,nc) D8 codes
-    (NaN invalid); inflow: external contributions per cell. Returns
-    (acc plane, [(dtx, dty, dst_cell, flow), ...] border emissions with
-    dtx/dty in {-1,0,1})."""
+    (NaN invalid); inflow: external contributions per cell; weight:
+    optional per-cell own contribution (default 1.0 everywhere —
+    classic cell-count accumulation). Returns (acc plane,
+    [(dtx, dty, dst_cell, flow), ...] border emissions with dtx/dty in
+    {-1,0,1})."""
     nr, nc = dirs.shape
     n = nr * nc
     d = dirs.ravel()
     valid = np.isfinite(d)
-    acc = np.where(valid, 1.0 + inflow.ravel(), 0.0)
+    own = 1.0 if weight is None else np.where(
+        np.isfinite(weight.ravel()), weight.ravel(), 0.0
+    )
+    acc = np.where(valid, own + inflow.ravel(), 0.0)
 
     recv, out_mask, jj, ii = _receivers(dirs)
 
@@ -233,24 +238,46 @@ def flow_accumulation(
     wrap_nx: int | None = None,
     max_rounds: int = 64,
     stats: dict | None = None,
+    weight_tiles: DataFrame | None = None,
+    band: str = "flowacc",
 ) -> DataFrame:
     """D8 flow accumulation over 'flowdir' tiles (tiles schema out,
     band 'flowacc'). Planes ship at most twice; the fixpoint is
     pointer doubling over exit-cell rows — see the module docstring.
     ``max_rounds`` bounds log2(longest border chain) (64 covers any
     chain). ``stats`` (optional dict) records {'rounds': n} for
-    plan-shape tests."""
+    plan-shape tests.
+
+    ``weight_tiles`` switches to WEIGHTED accumulation (upstream sum of
+    a weight raster — e.g. runoff/precipitation routing): each cell
+    contributes its weight instead of 1. The weight plane rides the
+    same per-tile join as the direction plane, so the plan shape (and
+    both planes-move-at-most-twice guarantees) is unchanged."""
     assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
-    dirs = dir_tiles.select(
-        "tile_x", "tile_y", "nrows", "ncols", "data"
-    ).localCheckpoint(eager=True)
+    base = dir_tiles.select("tile_x", "tile_y", "nrows", "ncols", "data")
+    if weight_tiles is not None:
+        wsel = weight_tiles.select(
+            "tile_x", "tile_y", F.col("data").alias("wdata")
+        )
+        base = base.join(wsel, ["tile_x", "tile_y"], "left")
+    else:
+        base = base.withColumn(
+            "wdata", F.lit(None).cast(base.schema["data"].dataType)
+        )
+    dirs = base.localCheckpoint(eager=True)
+
+    def _wplane(row, nr: int, nc: int) -> np.ndarray | None:
+        w = getattr(row, "wdata", None)
+        if w is None or (isinstance(w, float) and pd.isna(w)):
+            return None
+        return np.asarray(w, dtype=np.float64).reshape(nr, nc)
 
     def stage1(key, pdf: pd.DataFrame) -> pd.DataFrame:
         row = pdf.iloc[0]
         nr, nc = int(row.nrows), int(row.ncols)
         d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
         tx, ty = int(key[0]), int(key[1])
-        acc0, _ = _solve_tile(d, np.zeros((nr, nc)))
+        acc0, _ = _solve_tile(d, np.zeros((nr, nc)), _wplane(row, nr, nc))
         recv, out_mask, jj, ii = _receivers(d)
         n = nr * nc
         valid = np.isfinite(d.ravel())
@@ -402,10 +429,12 @@ def flow_accumulation(
                     tj = np.where(tj == 0xFFFF, nr - 1, tj)
                     ti = np.where(ti == 0xFFFF, nc - 1, ti)
                     np.add.at(inflow, tj * nc + ti, fl)
-                acc, _ = _solve_tile(d, inflow.reshape(nr, nc))
+                acc, _ = _solve_tile(
+                    d, inflow.reshape(nr, nc), _wplane(row, nr, nc)
+                )
                 out.append({
                     "tile_x": row.tile_x, "tile_y": row.tile_y,
-                    "level": level, "band": "flowacc",
+                    "level": level, "band": band,
                     "nrows": nr, "ncols": nc,
                     "data": np.where(np.isfinite(d.ravel()), acc, np.nan),
                 })

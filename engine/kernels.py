@@ -40,6 +40,7 @@ __all__ = [
     "focal_count",
     "focal_edge_density",
     "focal_extremum",
+    "focal_gi_star",
     "focal_interspersion",
     "focal_majority",
     "focal_mean",
@@ -174,6 +175,34 @@ def focal_std(arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
     out = np.sqrt(np.maximum(var, 0.0))
     out[c == 0] = np.nan
     return out
+
+
+def focal_gi_star(
+    arr: np.ndarray,
+    r: int,
+    shape: Shape = "square",
+    *,
+    xbar: float,
+    sd: float,
+    n: int,
+) -> np.ndarray:
+    """Local Getis-Ord Gi* hotspot z-score with binary weights over the
+    footprint (self-inclusive, so Gi-star rather than Gi):
+
+        z_i = (Σ_{j∈win} x_j − x̄·W_i)
+              / (S · sqrt((n·W_i − W_i²) / (n − 1)))
+
+    where W_i counts VALID window cells (boundary/nodata windows simply
+    shrink), and (n, x̄, S) are the GLOBAL valid-cell count, mean, and
+    population std — computed once upstream and passed in, so the
+    raster pass itself is two chord sums riding the usual one-exchange
+    focal plan. Nodata centers emit NaN."""
+    ws = focal_sum(arr, r, shape)
+    wi = focal_count(arr, r, shape)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (ws - xbar * wi) / (sd * np.sqrt((n * wi - wi * wi) / (n - 1.0)))
+    z[wi == 0] = np.nan
+    return np.where(np.isfinite(arr), z, np.nan)
 
 
 # ---------------------------------------------------------------------------

@@ -646,6 +646,22 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     acc_tiles = flow.flow_accumulation(
         dir_tiles, 16, spark, level=10
     ).localCheckpoint(eager=True)
+    # WEIGHTED accumulation (round 4, upstream runoff routing): each
+    # cell contributes a small exact-integer weight, so the float
+    # accumulation is exact and the micro-unit tile sums match the
+    # oracle's closure SUM bit-for-bit
+    import numpy as np
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    warr = ((xx * 7 + yy * 3) % 5 + 1).astype(np.float64)
+    w_tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(warr, 16, band="w"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    accw_tiles = flow.flow_accumulation(
+        dir_tiles, 16, spark, level=10,
+        weight_tiles=w_tiles, band="flowaccw",
+    )
     # Strahler stream order over the acc >= 8 network (round 4): orders
     # are small exact integers, so the micro-unit tile sum is exact
     strahler_tiles = flow.strahler(
@@ -685,6 +701,7 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     return _tile_summary_quantized(
         out.unionByName(dir_tiles)
         .unionByName(acc_tiles)
+        .unionByName(accw_tiles)
         .unionByName(strahler_tiles)
         .unionByName(fill_tiles)
         .unionByName(facc_tiles)
@@ -802,6 +819,13 @@ walk(si, sj, ci, cj) AS (
 facc AS MATERIALIZED (
   SELECT ci AS i, cj AS j, CAST(COUNT(*) AS DOUBLE) AS acc
   FROM walk GROUP BY 1, 2
+),
+-- weighted accumulation mirror: upstream-closure SUM of the exact
+-- integer weight plane w(i,j) = (i*7 + j*3) % 5 + 1
+faccw AS MATERIALIZED (
+  SELECT ci AS i, cj AS j,
+         CAST(SUM((w.si * 7 + w.sj * 3) % 5 + 1) AS DOUBLE) AS acc
+  FROM walk w GROUP BY 1, 2
 ),
 -- Strahler mirror (engine/flow.strahler, theta = 8): network = cells
 -- with acc >= 8; the unrolled S_k characterization — ord(c) >= k+1 iff
@@ -969,6 +993,12 @@ SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowacc',
        COUNT(a.acc),
        ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
 FROM tiles0 t LEFT JOIN facc a ON a.i // 16 = t.tx AND a.j // 16 = t.ty
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowaccw',
+       COUNT(a.acc),
+       ROUND(COALESCE(SUM(CAST(ROUND(a.acc * 1000000) AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t LEFT JOIN faccw a ON a.i // 16 = t.tx AND a.j // 16 = t.ty
 GROUP BY 1, 2
 UNION ALL
 SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'strahler',
@@ -1771,6 +1801,158 @@ FROM nb, s
 """
 
 
+_GI_R = 2  # 5x5 square window
+
+
+def sq_hotspot(spark: SparkSession, sf: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot raster (kernels.focal_gi_star) of
+    the arithmetic DEM, square r=2 window: one moments pass for the
+    global (n, mean, std), then the usual ONE-halo-exchange focal plan
+    computing the z-score plane; per-tile micro-quantized z checksum +
+    hot (z>1.96) / cold (z<-1.96) cell counts."""
+    import math
+
+    from engine import autocorr, kernels, tiling
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = _dem_tiles(spark)
+    n, s, s2 = autocorr.band_moments(tiles, "z")
+    xb = s / n
+    sd = math.sqrt(s2 / n - xb * xb)
+    out = tiling.apply_focal(
+        tiles,
+        _GI_R,
+        "square",
+        {"gi": lambda a, r, sh: kernels.focal_gi_star(
+            a, r, sh, xbar=xb, sd=sd, n=n
+        )},
+        16,
+        level=10,
+    )
+    valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
+    micro = F.transform(valid, lambda x: F.round(x * 1e6).cast("long"))
+    return out.select(
+        "tile_x",
+        "tile_y",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.round(
+            F.aggregate(micro, F.lit(0).cast("long"), lambda a, x: a + x) / 1e6,
+            4,
+        ).alias("z_sum"),
+        F.size(F.filter(valid, lambda x: x > 1.96)).cast("long").alias("n_hot"),
+        F.size(F.filter(valid, lambda x: x < -1.96)).cast("long").alias("n_cold"),
+    )
+
+
+SQ_HOTSPOT_SQL = f"""
+WITH {_DEM_SQL},
+s AS (
+  SELECT COUNT(*) AS n, AVG(z) AS xb,
+         SQRT(SUM(z * z) / COUNT(*) - AVG(z) * AVG(z)) AS sd
+  FROM dem
+),
+w AS (
+  SELECT a.i, a.j, COUNT(b.z) AS wi, SUM(b.z) AS ws
+  FROM dem a
+  JOIN dem b
+    ON ABS(b.i - a.i) <= {_GI_R} AND ABS(b.j - a.j) <= {_GI_R}
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT i, j,
+         (ws - s.xb * wi)
+         / (s.sd * SQRT((s.n * wi - wi * wi) / (s.n - 1.0))) AS z
+  FROM w, s
+)
+SELECT CAST(i // 16 AS INT) AS tile_x, CAST(j // 16 AS INT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       ROUND(SUM(CAST(ROUND(z * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS z_sum,
+       CAST(SUM(CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       CAST(SUM(CASE WHEN z < CAST(-1.96 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_cold
+FROM g GROUP BY 1, 2
+"""
+
+
+_TREND_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch-µs
+
+
+def sq_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell temporal trend (raster change detection): least-squares
+    slope of event value over time for every level-9 grid cell, from
+    the five classic regression moments (n, Σt, Σv, Σt², Σtv).
+
+    Scale shape: ONE map-side-combinable groupBy on the cell key — the
+    moments are exact int64 sums (t = whole seconds since a fixed base,
+    v = cents), so slope doubles are bit-identical to the oracle's and
+    the plan is a plain two-phase hash agg at any raster size. Output
+    folds cells to per-tile counts + a micro-quantized slope checksum."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    lat = shim.shim_lat_col(F.col("event_id"))
+    lon = shim.shim_lon_col(F.col("event_id"))
+    t = F.expr(
+        f"(unix_micros(CAST(ts AS TIMESTAMP)) - {_TREND_BASE_US}) DIV 1000000"
+    )
+    cells = ev.select(
+        F.floor((lon + 180.0) / 360.0 * 512).cast("long").alias("gi"),
+        F.floor((lat + 90.0) / 180.0 * 256).cast("long").alias("gj"),
+        t.alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    m = cells.groupBy("gi", "gj").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("vc").alias("sv"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("vc")).alias("stv"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    num = F.col("n") * F.col("stv") - F.col("st") * F.col("sv")
+    sl = (
+        m.filter((F.col("n") >= 2) & (den != 0))
+        .withColumn("slope", num.cast("double") / den.cast("double"))
+    )
+    return sl.groupBy(
+        F.floor(F.col("gi") / 32).cast("int").alias("tile_x"),
+        F.floor(F.col("gj") / 32).cast("int").alias("tile_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("slope") * 1e6).cast("long")) / 1e6, 6
+        ).alias("slope_sum"),
+    )
+
+
+SQ_TREND_SQL = f"""
+WITH ev AS (
+  SELECT CAST(FLOOR((({shim.SHIM_LON_SQL.replace("doc_id", "event_id")}) + 180) / 360 * 512) AS BIGINT) AS gi,
+         CAST(FLOOR((({shim.SHIM_LAT_SQL.replace("doc_id", "event_id")}) + 90) / 180 * 256) AS BIGINT) AS gj,
+         (epoch_us(ts) - {_TREND_BASE_US}) // 1000000 AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT gi, gj, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(t * vc) AS BIGINT) AS stv
+  FROM ev GROUP BY 1, 2
+),
+sl AS (
+  SELECT gi, gj, n,
+         CAST(n * stv - st * sv AS DOUBLE)
+         / CAST(n * stt - st * st AS DOUBLE) AS slope
+  FROM m WHERE n >= 2 AND n * stt - st * st != 0
+)
+SELECT CAST(gi // 32 AS INT) AS tile_x, CAST(gj // 32 AS INT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(ROUND(slope * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+         AS slope_sum
+FROM sl GROUP BY 1, 2
+"""
+
+
 _IDW_N, _IDW_R = 200, 4.0
 
 
@@ -2474,6 +2656,8 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_upsample": (sq_upsample, SQ_UPSAMPLE_SQL),
     "sq_overlay": (sq_overlay, _overlay_oracle_sql()),
     "sq_moran": (sq_moran, SQ_MORAN_SQL),
+    "sq_hotspot": (sq_hotspot, SQ_HOTSPOT_SQL),
+    "sq_trend": (sq_trend, SQ_TREND_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),

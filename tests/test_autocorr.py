@@ -70,3 +70,49 @@ def test_moran_checkerboard_negative(spark):
     # gnum = -W (every neighbor product is -1), pair denominator
     # = (sum x)^2 - sum x^2 = 0 - n  ->  G = W / n
     np.testing.assert_allclose(got.getis_g, 3968 / 1024, atol=1e-9)
+
+
+def test_gi_star_matches_bruteforce(spark):
+    """Local Gi* plane (one-exchange focal plan) == brute per-cell
+    window scan with global moments, including NaN-hole windows."""
+    from engine import autocorr, kernels, tiling
+
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    n, s, s2 = autocorr.band_moments(tiles, "z")
+    xb = s / n
+    sd = float(np.sqrt(s2 / n - xb * xb))
+    out = tiling.apply_focal(
+        tiles, 2, "square",
+        {"gi": lambda a, r, sh: kernels.focal_gi_star(a, r, sh, xbar=xb, sd=sd, n=n)},
+        16, level=10,
+    )
+    got = np.full((64, 64), np.nan)
+    for row in out.collect():
+        block = np.asarray(row.data, dtype=np.float64).reshape(
+            row.nrows, row.ncols
+        )
+        got[
+            row.tile_y * 16 : row.tile_y * 16 + row.nrows,
+            row.tile_x * 16 : row.tile_x * 16 + row.ncols,
+        ] = block
+
+    valid = np.isfinite(arr)
+    v = arr[valid]
+    bn, bxb = int(valid.sum()), v.mean()
+    bsd = float(np.sqrt((v * v).mean() - bxb * bxb))
+    want = np.full((64, 64), np.nan)
+    for y in range(64):
+        for x in range(64):
+            if not valid[y, x]:
+                continue
+            win = arr[max(0, y - 2) : y + 3, max(0, x - 2) : x + 3]
+            wv = win[np.isfinite(win)]
+            wi = len(wv)
+            want[y, x] = (wv.sum() - bxb * wi) / (
+                bsd * np.sqrt((bn * wi - wi * wi) / (bn - 1.0))
+            )
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)

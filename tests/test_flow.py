@@ -431,3 +431,34 @@ def test_strahler_ragged(spark):
         16, 20, 40,
     )
     np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def test_weighted_accumulation_matches_whole_array(spark):
+    """Weighted accumulation (upstream sum of a weight raster) via the
+    tiled pipeline == one whole-array solve, exercising weighted
+    border-crossing flows; weight=None keeps classic counts."""
+    arr = fixtures.dem_arith(size=64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    warr = ((xx * 7 + yy * 3) % 5 + 1).astype(np.float64)
+    dirs_whole = flow.flow_direction_kernel(arr)
+    acc_ref, emits = flow._solve_tile(
+        dirs_whole, np.zeros_like(arr), warr
+    )
+    assert not emits
+    acc_ref = np.where(np.isfinite(dirs_whole.ravel()), acc_ref, np.nan)
+
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    w_tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(warr, 16, band="w"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    out = flow.flow_accumulation(
+        dir_tiles, 16, spark, weight_tiles=w_tiles, band="flowaccw"
+    )
+    assert out.select("band").distinct().collect()[0].band == "flowaccw"
+    got = _acc_from_tiles(out, 16, 64, 64)
+    np.testing.assert_allclose(got.ravel(), acc_ref, equal_nan=True)
