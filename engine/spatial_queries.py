@@ -1874,6 +1874,58 @@ FROM g GROUP BY 1, 2
 """
 
 
+_OPEN_R = 4  # bounded ray length (<= halo)
+
+
+def sq_openness(spark: SparkSession, sf: str) -> DataFrame:
+    """Positive topographic openness (terrain.focal_openness) of the
+    arithmetic DEM, 8 rays bounded to L=4: ONE r=4 halo exchange +
+    shifted-plane maxima; per-ray micro-degree quantization makes the
+    tile checksums exact across engines."""
+    from engine import terrain, tiling
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    out = tiling.apply_focal(
+        _dem_tiles(spark), _OPEN_R, "square",
+        {"openness": terrain.focal_openness}, 16, level=10,
+    )
+    return _tile_summary_quantized(out)
+
+
+SQ_OPENNESS_SQL = f"""
+WITH {_DEM_SQL},
+dirs8(dj, di, dist) AS (VALUES
+  (-1, -1, SQRT(2.0)), (-1, 0, 1.0), (-1, 1, SQRT(2.0)),
+  ( 0, -1, 1.0),                     ( 0, 1, 1.0),
+  ( 1, -1, SQRT(2.0)), ( 1, 0, 1.0), ( 1, 1, SQRT(2.0))
+),
+rays AS (
+  SELECT d.dj, d.di, k.k, d.dist * k.k AS dist
+  FROM dirs8 d, range(1, {_OPEN_R + 1}) k(k)
+),
+best AS (
+  SELECT c.i, c.j, r.dj, r.di, MAX((n.z - c.z) / r.dist) AS mr
+  FROM dem c
+  JOIN rays r ON TRUE
+  JOIN dem n ON n.i = c.i + r.di * r.k AND n.j = c.j + r.dj * r.k
+  GROUP BY 1, 2, 3, 4
+),
+op AS (
+  SELECT i, j,
+         SUM(CAST(ROUND((90.0 - DEGREES(ATAN(mr))) * 1000000.0) AS BIGINT))
+           AS q
+  FROM best GROUP BY 1, 2
+)
+SELECT CAST(c.i // 16 AS INT) AS tile_x, CAST(c.j // 16 AS INT) AS tile_y,
+       'openness' AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       ROUND(SUM(COALESCE(op.q, 0)) / 1000000.0, 4) AS tile_sum
+FROM dem c LEFT JOIN op ON op.i = c.i AND op.j = c.j
+GROUP BY 1, 2
+"""
+
+
 _TREND_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch-µs
 
 
@@ -2658,6 +2710,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_moran": (sq_moran, SQ_MORAN_SQL),
     "sq_hotspot": (sq_hotspot, SQ_HOTSPOT_SQL),
     "sq_trend": (sq_trend, SQ_TREND_SQL),
+    "sq_openness": (sq_openness, SQ_OPENNESS_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),

@@ -41,6 +41,7 @@ __all__ = [
     "focal_aspect",
     "focal_curvature",
     "focal_hillshade",
+    "focal_openness",
     "focal_roughness",
     "focal_slope",
     "focal_tpi",
@@ -235,3 +236,44 @@ def terrain_kernels(cellsize: float = 1.0) -> dict:
         name: partial(fn, cellsize=cellsize)
         for name, fn in TERRAIN_KERNELS.items()
     }
+
+
+def focal_openness(arr: np.ndarray, r: int, shape: str = "square") -> np.ndarray:
+    """Positive topographic openness (Yokoyama et al. 2002), bounded to
+    ray length L = r cells (must fit the halo, like every bounded focal
+    op here). Pinned semantics, mirrored by the sq_openness oracle:
+
+    - 8 compass rays; along ray d the max elevation ratio is
+      max_{k=1..r} (z[c + k*d] - z[c]) / (k * dist_d) over VALID
+      samples only (dist_d = sqrt(2) for diagonals, 1 otherwise);
+    - the ray's zenith angle 90 - degrees(atan(max_ratio)) is
+      quantized to integer micro-degrees PER RAY, and the cell value
+      is the exact integer sum over rays that had >= 1 valid sample,
+      divided by 1e6 — so cross-engine float-sum order can't move the
+      checksum (only a per-ray atan ulp landing exactly on a half
+      micro-degree could, the same exposure class as the slope band);
+    - rays with no valid sample contribute nothing; a valid center
+      with zero sampled rays is 0.0; invalid centers are NaN.
+
+    Runs through tiling.apply_focal with halo g = r: shifted-plane
+    np.roll reads stay inside the pad for every k <= r, so the plan is
+    the ordinary ONE-exchange focal pass at any raster size."""
+    a = np.asarray(arr, dtype=np.float64)
+    sqrt2 = np.sqrt(2.0)
+    qsum = np.zeros_like(a)
+    for dj, di in (
+        (-1, -1), (-1, 0), (-1, 1), (0, -1),
+        (0, 1), (1, -1), (1, 0), (1, 1),
+    ):
+        dist1 = sqrt2 if (dj != 0 and di != 0) else 1.0
+        best = np.full_like(a, -np.inf)
+        for k in range(1, r + 1):
+            nb = np.roll(a, (-k * dj, -k * di), axis=(0, 1))
+            with np.errstate(invalid="ignore"):
+                ratio = (nb - a) / (k * dist1)
+            best = np.fmax(best, ratio)  # fmax skips NaN samples
+        has = np.isfinite(best)
+        with np.errstate(invalid="ignore"):
+            ang = 90.0 - np.degrees(np.arctan(best))
+        qsum += np.where(has, np.round(ang * 1e6), 0.0)
+    return np.where(np.isfinite(a), qsum / 1e6, np.nan)

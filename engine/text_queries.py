@@ -1095,3 +1095,87 @@ FROM ranked GROUP BY o_orderpriority, quartile
 """
 
 TEXT_QUERIES["q29_order_rank_analytics"] = (q29_order_rank_analytics, Q29_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q38: exact substring-span dedup (the "duplicated training-data spans"
+# operator of Lee et al. 2022, n-gram granularity): a window of N
+# consecutive tokens that occurs more than once ANYWHERE in the corpus
+# is a duplicated span. Distributed shape: explode token windows
+# map-side, ONE two-phase hash agg on the gram key for corpus counts,
+# ONE gram-key equi-join back (co-partitioned with the agg, no
+# broadcast of an unbounded dup set), then per-doc/per-source rollup —
+# every stage is a plain shuffle-on-key plan that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+
+def q38_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplicated-span profile: window count, windows whose
+    8-gram repeats corpus-wide, docs containing any such span, ratio."""
+    n = _SPAN_N
+    d = _T(spark, sf, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("tk")
+    )
+    grams = F.when(
+        F.size("tk") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    gc = w.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    wd = w.join(gc.filter(F.col("c") > 1).select("g"), "g")
+    docs = wd.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("ndw")
+    )
+    tot = w.groupBy("source").agg(F.count(F.lit(1)).alias("total_windows"))
+    return (
+        tot.join(docs, "source", "left")
+        .groupBy("source", "total_windows")
+        .agg(
+            F.coalesce(F.sum("ndw"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.count("doc_id").cast("long").alias("docs_with_dup"),
+            F.round(
+                F.coalesce(F.sum("ndw"), F.lit(0))
+                / F.col("total_windows").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .select(
+            "source", "total_windows", "dup_windows", "docs_with_dup",
+            "dup_ratio",
+        )
+    )
+
+
+Q38_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, len(tk) - {_SPAN_N - 1}),
+                i -> md5(array_to_string(
+                       tk[CAST(i + 1 AS INT):CAST(i + {_SPAN_N} AS INT)],
+                       ' ')))) AS g
+  FROM toks WHERE len(tk) >= {_SPAN_N}
+),
+gc AS (SELECT g, COUNT(*) AS c FROM w GROUP BY g),
+wd AS (SELECT w.doc_id, w.source, w.g
+       FROM w JOIN gc ON gc.g = w.g AND gc.c > 1),
+docs AS (SELECT doc_id, source, COUNT(*) AS ndw FROM wd GROUP BY 1, 2),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_windows
+        FROM w GROUP BY 1)
+SELECT t.source, t.total_windows,
+       CAST(COALESCE(SUM(d.ndw), 0) AS BIGINT) AS dup_windows,
+       CAST(COUNT(d.doc_id) AS BIGINT) AS docs_with_dup,
+       ROUND(COALESCE(SUM(d.ndw), 0) / CAST(t.total_windows AS DOUBLE), 6)
+         AS dup_ratio
+FROM tot t LEFT JOIN docs d ON d.source = t.source
+GROUP BY 1, 2
+"""
+
+TEXT_QUERIES["q38_span_dedup"] = (q38_span_dedup, Q38_SQL)

@@ -174,3 +174,45 @@ def test_convolution_filters_brute():
             rtol=0, atol=1e-12,
         )
         assert np.isfinite(got).sum() > 400
+
+
+def test_openness_matches_bruteforce(spark):
+    """Tiled bounded-ray openness (one r=4 exchange) == explicit
+    per-cell ray enumeration, including NaN-hole and raster-edge rays."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    out = tiling.apply_focal(
+        tiles, 4, "square", {"openness": terrain.focal_openness}, 16, level=0
+    )
+    sqrt2 = math.sqrt(2.0)
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    want = np.full((64, 64), np.nan)
+    for j in range(64):
+        for i in range(64):
+            if not np.isfinite(arr[j, i]):
+                continue
+            q = 0
+            for dj, di in dirs:
+                dist1 = sqrt2 if dj != 0 and di != 0 else 1.0
+                best = -np.inf
+                for k in range(1, 5):
+                    jj, ii = j + k * dj, i + k * di
+                    if 0 <= jj < 64 and 0 <= ii < 64 and np.isfinite(arr[jj, ii]):
+                        best = max(best, (arr[jj, ii] - arr[j, i]) / (k * dist1))
+                if np.isfinite(best):
+                    q += round((90.0 - math.degrees(math.atan(best))) * 1e6)
+            want[j, i] = q / 1e6
+    for r in out.collect():
+        got = np.asarray(r.data, dtype=np.float64).reshape(r.nrows, r.ncols)
+        np.testing.assert_allclose(
+            got,
+            want[
+                r.tile_y * 16 : r.tile_y * 16 + r.nrows,
+                r.tile_x * 16 : r.tile_x * 16 + r.ncols,
+            ],
+            atol=1e-9, equal_nan=True,
+            err_msg=f"openness tile ({r.tile_x},{r.tile_y})",
+        )
