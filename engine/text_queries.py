@@ -1118,14 +1118,7 @@ def q38_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = _T(spark, sf, "documents").select(
         "doc_id", "source", _toks(F.col("text")).alias("tk")
     )
-    grams = F.when(
-        F.size("tk") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - n),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i + 1, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    w = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    w = d.select("doc_id", "source", F.explode(_gram_md5(n)).alias("g"))
     gc = w.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     wd = w.join(gc.filter(F.col("c") > 1).select("g"), "g")
     docs = wd.groupBy("doc_id", "source").agg(
@@ -1179,3 +1172,235 @@ GROUP BY 1, 2
 """
 
 TEXT_QUERIES["q38_span_dedup"] = (q38_span_dedup, Q38_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q39: benchmark decontamination check — the standard pre-training
+# hygiene op (e.g. GPT-3 appendix C / PaLM "test-set contamination"):
+# flag TRAINING documents that share any N-token window with a
+# held-out BENCHMARK set. The benchmark here is carved
+# deterministically from the corpus itself (doc_id % 97 == 0, ~1%) —
+# no external data, and the carve rule is mirrored in the oracle.
+#
+# Distributed shape — deliberately the OPPOSITE of q38: benchmark gram
+# sets are tiny relative to the corpus (an eval suite is MBs against
+# 100 TB), so the dup-gram side is DISTINCT'd and BROADCAST, and the
+# corpus-sized window stream semi-joins against it map-side with zero
+# shuffle of train windows. q38's shuffle-join shape is what you use
+# when the dup set is unbounded; this broadcast shape is what you use
+# when it provably isn't.
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 97
+
+
+def _gram_md5(n: int) -> Column:
+    """array<md5(n-token window)> of the tokenized `tk` column."""
+    return F.when(
+        F.size("tk") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q39_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source contamination profile of the training split: train
+    docs, docs sharing >= 1 benchmark 8-gram, overlapping windows,
+    contaminated-doc ratio."""
+    n = _SPAN_N
+    d = _T(spark, sf, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("tk")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_g = (
+        d.filter(is_bench)
+        .select(F.explode(_gram_md5(n)).alias("g"))
+        .distinct()
+    )
+    train = d.filter(~is_bench)
+    tw = train.select(
+        "doc_id", "source", F.explode(_gram_md5(n)).alias("g")
+    )
+    hits = (
+        tw.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    base = train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("train_docs")
+    )
+    return (
+        base.join(hits, "source", "left")
+        .groupBy("source", "train_docs")
+        .agg(
+            F.count("doc_id").cast("long").alias("contaminated_docs"),
+            F.coalesce(F.sum("nw"), F.lit(0)).cast("long")
+             .alias("overlap_windows"),
+            F.round(
+                F.count("doc_id") / F.col("train_docs").cast("double"), 6
+            ).alias("contaminated_ratio"),
+        )
+        .select(
+            "source", "train_docs", "contaminated_docs",
+            "overlap_windows", "contaminated_ratio",
+        )
+    )
+
+
+Q39_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, len(tk) - {_SPAN_N - 1}),
+                i -> md5(array_to_string(
+                       tk[CAST(i + 1 AS INT):CAST(i + {_SPAN_N} AS INT)],
+                       ' ')))) AS g
+  FROM toks WHERE len(tk) >= {_SPAN_N}
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (
+  SELECT w.doc_id, w.source, COUNT(*) AS nw
+  FROM grams w JOIN bench b ON b.g = w.g
+  WHERE w.doc_id % {_BENCH_MOD} <> 0
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS train_docs
+  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0 GROUP BY 1
+)
+SELECT b.source, b.train_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS contaminated_docs,
+       CAST(COALESCE(SUM(h.nw), 0) AS BIGINT) AS overlap_windows,
+       ROUND(COUNT(h.doc_id) / CAST(b.train_docs AS DOUBLE), 6)
+         AS contaminated_ratio
+FROM base b LEFT JOIN hits h ON h.source = b.source
+GROUP BY 1, 2
+"""
+
+TEXT_QUERIES["q39_decontamination"] = (q39_decontamination, Q39_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q40: intra-document repetition quality signals (the Gopher/MassiveText
+# repetition filters, token flavor): per doc the duplicate-token
+# fraction and the fraction of the doc's 2-gram windows taken by its
+# single most frequent 2-gram; rolled up per source with a count of
+# "repetitious" docs (top-2-gram fraction > 0.1).
+#
+# Distributed shape: 2-gram explode → per-(doc, gram) count → per-doc
+# max — two map-side-combinable hash aggs on keys that carry the doc
+# id, so partials collapse before the exchange and no doc's grams ever
+# concentrate on one task beyond its own row. Token distincts ride the
+# same pattern. No windows, no broadcast, no skew key (doc_id is
+# unique): the plan is flat at any corpus size.
+# ---------------------------------------------------------------------------
+
+_REP_THRESH = 0.1
+
+
+def q40_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source repetition profile: docs (with >= 2 tokens),
+    mean duplicate-token fraction, mean top-2-gram fraction, and
+    repetitious-doc count (top-2-gram fraction > 0.1)."""
+    d = _T(spark, sf, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    g2 = d.select(
+        "doc_id", "source", F.size("tk").alias("ntok"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice("tk", i + 1, 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    per_doc = (
+        g2.groupBy("doc_id", "source", "ntok", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source", "ntok")
+        .agg(F.max("c").alias("topc"))
+        .withColumn(
+            "top2_frac",
+            F.col("topc") / (F.col("ntok") - 1).cast("double"),
+        )
+    )
+    dup_tok = d.select(
+        "doc_id",
+        (
+            (F.size("tk") - F.size(F.array_distinct("tk")))
+            / F.size("tk").cast("double")
+        ).alias("dup_frac"),
+    )
+    j = per_doc.join(dup_tok, "doc_id")
+    # means via per-doc integer micro-quantization + exact long sums so
+    # cross-engine float-add order can't move the 6-dp value hash (the
+    # repo-wide determinism rule, SURVEY §5.3)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.round(F.col("dup_frac") * 1e6).cast("long"))
+             .alias("_sd"),
+            F.sum(F.round(F.col("top2_frac") * 1e6).cast("long"))
+             .alias("_st"),
+            F.sum(
+                (F.col("top2_frac") > _REP_THRESH).cast("long")
+            ).alias("repetitious_docs"),
+        )
+        .select(
+            "source", "docs",
+            F.round(F.col("_sd") / (F.col("docs") * 1e6), 6)
+             .alias("avg_dup_tok_frac"),
+            F.round(F.col("_st") / (F.col("docs") * 1e6), 6)
+             .alias("avg_top2_frac"),
+            "repetitious_docs",
+        )
+    )
+
+
+Q40_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+),
+d AS (SELECT * FROM toks WHERE len(tk) >= 2),
+g2 AS (
+  SELECT doc_id, source, len(tk) AS ntok,
+         unnest(list_transform(range(0, len(tk) - 1),
+                i -> array_to_string(
+                       tk[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ')))
+           AS g
+  FROM d
+),
+per_doc AS (
+  SELECT doc_id, source, ntok, MAX(c) AS topc
+  FROM (SELECT doc_id, source, ntok, g, COUNT(*) AS c
+        FROM g2 GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+),
+dup_tok AS (
+  SELECT doc_id,
+         (len(tk) - len(list_distinct(tk))) / CAST(len(tk) AS DOUBLE)
+           AS dup_frac
+  FROM d
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       ROUND(SUM(CAST(ROUND(t.dup_frac * 1e6) AS BIGINT))
+             / (COUNT(*) * 1e6), 6) AS avg_dup_tok_frac,
+       ROUND(SUM(CAST(ROUND(p.topc / CAST(p.ntok - 1 AS DOUBLE) * 1e6)
+                      AS BIGINT)) / (COUNT(*) * 1e6), 6)
+         AS avg_top2_frac,
+       CAST(SUM(CASE WHEN p.topc / CAST(p.ntok - 1 AS DOUBLE)
+                     > {_REP_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitious_docs
+FROM per_doc p JOIN dup_tok t ON t.doc_id = p.doc_id
+GROUP BY 1
+"""
+
+TEXT_QUERIES["q40_repetition"] = (q40_repetition, Q40_SQL)
