@@ -70,6 +70,7 @@ __all__ = [
     "flow_accumulation",
     "flow_direction",
     "flow_direction_kernel",
+    "flow_length",
     "strahler",
     "watershed",
 ]
@@ -922,6 +923,282 @@ def strahler(
                     "level": level, "band": "strahler",
                     "nrows": nr, "ncols": nc, "data": data,
                 })
+            yield pd.DataFrame(
+                out,
+                columns=["tile_x", "tile_y", "level", "band",
+                         "nrows", "ncols", "data"],
+            )
+
+    return planes.mapInPandas(paint, tiling.TILES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Downstream flow length (W32, round 4)
+# ---------------------------------------------------------------------------
+
+_FL_STAGE1_SCHEMA = (
+    "tile_x int, tile_y int, kind string, nrows int, ncols int, "
+    "plane binary, pcard binary, pdiag binary, cellkey long, okey long, "
+    "val long, dc long, dd long"
+)
+
+_DIAG_CODES = (2, 8, 32, 128)
+
+
+def flow_length(
+    dir_tiles: DataFrame,
+    T: int,
+    spark: SparkSession,
+    level: int = 0,
+    wrap_nx: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Downstream flow length: for every valid cell, the along-path
+    distance to its terminal pit on the D8 graph (ESRI FlowLength,
+    downstream flavor). Pinned semantics, mirrored by the oracle:
+
+    - a cardinal step counts 1, a diagonal step sqrt(2); the result is
+      reported as TWO exact-integer bands — ``flowlen_card`` (cardinal
+      step count) and ``flowlen_diag`` (diagonal step count), so the
+      length ``n_card + sqrt(2) * n_diag`` carries no float-sum-order
+      exposure anywhere in the distributed pipeline or the value hash;
+    - pits/flats (code 0) have length 0; invalid cells are NaN; flow
+      never leaves the raster (flow_direction only ever picks in-raster
+      neighbors), so every path terminates at an in-raster pit.
+
+    Scale design — the watershed chain-table treatment applied to the
+    (count, count) sum: planes ship exactly TWICE, the fixpoint runs
+    over border-exit ROWS only.
+
+    1. ONE applyInPandas over the direction planes: in-tile Wyllie
+       pointer doubling WITH CARRIED COUNTS (``d += d[t]; t = t[t]``)
+       resolves every cell's step counts to its in-tile terminal — a
+       pit (resolved) or a border-exit cell (pending). Emits the packed
+       terminal plane (watershed's encoding) + two int64 count planes,
+       one LINK row per exit cell (okey → destination tile/cell, the
+       exit step's own class), and sentinel-aliased EDGE rows
+       classifying each border cell (terminal encode + its in-tile
+       counts).
+    2. links ⋈ edges condenses the raster to chain rows
+       ``okey → (dc, dd, pit | next okey)`` with dc/dd = the exit step
+       plus the destination entry cell's in-tile counts; Wyllie
+       pointer doubling with carried sums resolves every chain in
+       O(log chain) rounds — one self-join per round over exit rows
+       only, localCheckpoint-bounded lineage.
+    3. ONE paint join maps pending okeys to final (dc, dd) next to the
+       payload (the watershed remap, incl. its loud unresolved-okey
+       guard) and emits both bands.
+    """
+    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    dirs = dir_tiles.select(
+        "tile_x", "tile_y", "nrows", "ncols", "data"
+    ).localCheckpoint(eager=True)
+
+    def stage1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        nr, nc = int(row.nrows), int(row.ncols)
+        d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
+        tx, ty = int(key[0]), int(key[1])
+        recv, out_mask, jj, ii = _receivers(d)
+        n = nr * nc
+        codes = d.ravel()
+        valid = np.isfinite(codes)
+        has_recv = recv >= 0
+        diag = np.isin(codes, _DIAG_CODES) & has_recv
+        dc = np.where(has_recv & ~diag, np.int64(1), np.int64(0))
+        dd = np.where(diag, np.int64(1), np.int64(0))
+        t = np.where(has_recv, recv, np.arange(n))
+        while True:
+            dc = dc + dc[t]
+            dd = dd + dd[t]
+            t2 = t[t]
+            if np.array_equal(t2, t):
+                break
+            t = t2
+        gy = np.int64(ty) * T + jj
+        gx = np.int64(tx) * T + ii
+        gid = (gy.astype(np.int64) << 32) | gx.astype(np.int64)
+        term = t
+        term_is_exit = out_mask[term]
+        plane = np.where(term_is_exit, -(gid[term] + 1), gid[term])
+        plane = np.where(valid, plane, np.int64(-(2**62)))
+        rows = [{
+            "tile_x": tx, "tile_y": ty, "kind": "plane",
+            "nrows": nr, "ncols": nc,
+            "plane": plane.astype("<i8").tobytes(),
+            "pcard": dc.astype("<i8").tobytes(),
+            "pdiag": dd.astype("<i8").tobytes(),
+            "cellkey": None, "okey": None, "val": None,
+            "dc": None, "dd": None,
+        }]
+        for cell in np.flatnonzero(out_mask):
+            code = int(codes[cell])
+            ntx, nty, cellkey = _border_dst(
+                tx, ty, nr, nc, jj, ii, cell, code, wrap_nx
+            )
+            step_diag = code in _DIAG_CODES
+            rows.append({
+                "tile_x": ntx, "tile_y": nty, "kind": "link",
+                "nrows": None, "ncols": None, "plane": None,
+                "pcard": None, "pdiag": None,
+                "cellkey": cellkey, "okey": int(gid[cell]), "val": None,
+                "dc": 0 if step_diag else 1, "dd": 1 if step_diag else 0,
+            })
+        edge_cells = np.flatnonzero(
+            valid
+            & ((jj == 0) | (jj == nr - 1) | (ii == 0) | (ii == nc - 1))
+        )
+        for cell in edge_cells:
+            v = (
+                -(int(gid[term[cell]]) + 1)
+                if term_is_exit[cell]
+                else int(gid[term[cell]])
+            )
+            lj, li = int(jj[cell]), int(ii[cell])
+            jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
+            ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
+            for kj in jkeys:
+                for ki in ikeys:
+                    rows.append({
+                        "tile_x": tx, "tile_y": ty, "kind": "edge",
+                        "nrows": None, "ncols": None, "plane": None,
+                        "pcard": None, "pdiag": None,
+                        "cellkey": int((kj << 16) | ki),
+                        "okey": None, "val": v,
+                        "dc": int(dc[cell]), "dd": int(dd[cell]),
+                    })
+        return pd.DataFrame(
+            rows,
+            columns=["tile_x", "tile_y", "kind", "nrows", "ncols",
+                     "plane", "pcard", "pdiag", "cellkey", "okey",
+                     "val", "dc", "dd"],
+        )
+
+    s1 = (
+        dirs.groupBy("tile_x", "tile_y")
+        .applyInPandas(stage1, _FL_STAGE1_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    links = s1.filter(F.col("kind") == "link").select(
+        "tile_x", "tile_y", "cellkey", "okey",
+        F.col("dc").alias("ldc"), F.col("dd").alias("ldd"),
+    )
+    edges = s1.filter(F.col("kind") == "edge").select(
+        "tile_x", "tile_y", "cellkey", "val", "dc", "dd"
+    )
+    # chain rows: okey -> (counts incl. the exit step + the entry
+    # cell's in-tile counts; val >= 0 resolved / -(next okey + 1))
+    chain = links.join(edges, ["tile_x", "tile_y", "cellkey"]).select(
+        "okey",
+        "val",
+        (F.col("ldc") + F.col("dc")).alias("dc"),
+        (F.col("ldd") + F.col("dd")).alias("dd"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        pending = chain.filter(F.col("val") < 0)
+        if pending.isEmpty():
+            break
+        nxt = chain.select(
+            F.col("okey").alias("nokey"), F.col("val").alias("nval"),
+            F.col("dc").alias("ndc"), F.col("dd").alias("ndd"),
+        )
+        resolved = F.col("val") >= 0
+        chain = (
+            chain.withColumn(
+                "ptr", F.when(~resolved, -(F.col("val") + 1))
+            )
+            .join(nxt, F.col("ptr") == F.col("nokey"), "left")
+            .select(
+                "okey",
+                F.when(resolved, F.col("val"))
+                .otherwise(F.coalesce("nval", "val"))
+                .alias("val"),
+                F.when(resolved, F.col("dc"))
+                .otherwise(F.col("dc") + F.coalesce("ndc", F.lit(0)))
+                .alias("dc"),
+                F.when(resolved, F.col("dd"))
+                .otherwise(F.col("dd") + F.coalesce("ndd", F.lit(0)))
+                .alias("dd"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"flow_length chain did not resolve in {max_rounds} rounds"
+        )
+
+    tile_map = (
+        links.select(F.col("okey").alias("src_okey"))
+        .join(chain, F.col("src_okey") == F.col("okey"))
+        .select("okey", "dc", "dd")
+    )
+    src = tile_map.select(
+        (F.shiftrightunsigned("okey", 32) / T).cast("int").alias("tile_y"),
+        (F.col("okey").bitwiseAND(F.lit(0xFFFFFFFF)) / T)
+        .cast("int").alias("tile_x"),
+        "okey", "dc", "dd",
+    ).groupBy("tile_x", "tile_y").agg(
+        F.collect_list(F.struct("okey", "dc", "dd")).alias("m")
+    )
+
+    planes = s1.filter(F.col("kind") == "plane").select(
+        "tile_x", "tile_y", "nrows", "ncols", "plane", "pcard", "pdiag"
+    ).join(src, ["tile_x", "tile_y"], "left")
+
+    def paint(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for row in pdf.itertuples(index=False):
+                nr, nc = int(row.nrows), int(row.ncols)
+                plane = np.frombuffer(row.plane, dtype="<i8")
+                pcard = np.frombuffer(row.pcard, dtype="<i8").astype(
+                    np.float64
+                )
+                pdiag = np.frombuffer(row.pdiag, dtype="<i8").astype(
+                    np.float64
+                )
+                invalid = plane == -(2**62)
+                card = np.where(invalid, np.nan, pcard)
+                diagp = np.where(invalid, np.nan, pdiag)
+                pend = (plane < 0) & ~invalid
+                if pend.any():
+                    m = row.m if row.m is not None else []
+                    pairs = [
+                        (e["okey"], e["dc"], e["dd"])
+                        if isinstance(e, dict)
+                        else (e[0], e[1], e[2])
+                        for e in m
+                    ]
+                    if not pairs:
+                        raise RuntimeError(
+                            "flow_length paint: tile "
+                            f"({row.tile_x},{row.tile_y}) has pending "
+                            "cells but an empty okey map"
+                        )
+                    m_ok = np.array([p[0] for p in pairs], dtype=np.int64)
+                    m_dc = np.array([p[1] for p in pairs], dtype=np.int64)
+                    m_dd = np.array([p[2] for p in pairs], dtype=np.int64)
+                    order = np.argsort(m_ok)
+                    m_ok, m_dc, m_dd = m_ok[order], m_dc[order], m_dd[order]
+                    want = -(plane[pend] + 1)
+                    pos = np.clip(np.searchsorted(m_ok, want), 0, len(m_ok) - 1)
+                    if not (m_ok[pos] == want).all():
+                        missing = np.unique(want[m_ok[pos] != want])[:5]
+                        raise RuntimeError(
+                            "flow_length paint: unresolved okeys in tile "
+                            f"({row.tile_x},{row.tile_y}): {missing}"
+                        )
+                    card[pend] = card[pend] + m_dc[pos]
+                    diagp[pend] = diagp[pend] + m_dd[pos]
+                for band, data in (
+                    ("flowlen_card", card), ("flowlen_diag", diagp)
+                ):
+                    out.append({
+                        "tile_x": row.tile_x, "tile_y": row.tile_y,
+                        "level": level, "band": band,
+                        "nrows": nr, "ncols": nc, "data": data,
+                    })
             yield pd.DataFrame(
                 out,
                 columns=["tile_x", "tile_y", "level", "band",

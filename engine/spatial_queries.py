@@ -1926,6 +1926,127 @@ GROUP BY 1, 2
 """
 
 
+def sq_zonal_geom(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-zone geometry (zonal.zonal_geometry) of the arithmetic
+    Voronoi class raster: area, rook boundary-edge perimeter (nodata
+    speckle and the raster rim count), Polsby–Popper compactness.
+    One 1-halo exchange + per-(tile, zone) integer partials; the
+    oracle replays the edge count with a same-class rook self-join."""
+    from engine import fixtures, zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(
+            fixtures.raster_arith(size=64), 16, band="zone"
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    return zonal.zonal_geometry(tiles, 16, zone_band="zone")
+
+
+SQ_ZONAL_GEOM_SQL = f"""
+WITH {_RASTER_ARITH_SQL},
+per AS (
+  SELECT c.klass, c.id, 4 - COUNT(n.id) AS p
+  FROM cells c
+  LEFT JOIN cells n ON n.klass = c.klass
+   AND ((ABS(c.i - n.i) = 1 AND c.j = n.j)
+     OR (c.i = n.i AND ABS(c.j - n.j) = 1))
+  GROUP BY c.klass, c.id
+)
+SELECT CAST(klass AS BIGINT) AS zone,
+       CAST(COUNT(*) AS BIGINT) AS area_cells,
+       CAST(SUM(p) AS BIGINT) AS perimeter,
+       ROUND((4.0 * PI() * COUNT(*))
+             / CAST(SUM(p) * SUM(p) AS DOUBLE), 6) AS compactness
+FROM per GROUP BY 1
+"""
+
+
+def sq_flowlen(spark: SparkSession, sf: str) -> DataFrame:
+    """Downstream flow length (flow.flow_length) on the arithmetic
+    DEM's D8 graph: per-cell cardinal/diagonal step counts to the
+    terminal pit, reported as two exact-integer bands so the checksum
+    carries zero float-sum-order exposure. Planes ship twice; the
+    fixpoint is Wyllie doubling with carried counts over border-exit
+    rows only."""
+    from engine import flow
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    dirs = flow.flow_direction(_dem_tiles(spark), 16, level=10)
+    return _tile_summary_quantized(flow.flow_length(dirs, 16, spark, level=10))
+
+
+# D8 mirror on the arith DEM (same pinned codes/tie rule as the
+# sq_terrain oracle), then per-start-cell step-class counts over the
+# recursive path walk
+SQ_FLOWLEN_SQL = f"""
+WITH RECURSIVE {_DEM_SQL},
+d8off(code, dj, di, dist) AS (VALUES
+  (1, 0, 1, 1.0), (2, 1, 1, 1.4142135623730951), (4, 1, 0, 1.0),
+  (8, 1, -1, 1.4142135623730951), (16, 0, -1, 1.0),
+  (32, -1, -1, 1.4142135623730951), (64, -1, 0, 1.0),
+  (128, -1, 1, 1.4142135623730951)
+),
+fdir AS MATERIALIZED (
+  SELECT c.i, c.j, COALESCE(r.code, 0) AS code
+  FROM dem c LEFT JOIN (
+    SELECT i, j, code FROM (
+      SELECT c2.i AS i, c2.j AS j, o.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY c2.i, c2.j
+               ORDER BY (c2.z - n.z) / o.dist DESC, o.code ASC
+             ) AS rn
+      FROM dem c2 JOIN d8off o ON TRUE
+      JOIN dem n ON n.i = c2.i + o.di AND n.j = c2.j + o.dj
+      WHERE (c2.z - n.z) / o.dist > 0
+    ) WHERE rn = 1
+  ) r ON r.i = c.i AND r.j = c.j
+),
+recv AS MATERIALIZED (
+  SELECT f.i, f.j, f.i + o.di AS ri, f.j + o.dj AS rj
+  FROM fdir f JOIN d8off o ON o.code = f.code
+  WHERE f.code > 0
+),
+walk(si, sj, ci, cj) AS (
+  SELECT i, j, i, j FROM fdir
+  UNION ALL
+  SELECT w.si, w.sj, r.ri, r.rj
+  FROM walk w JOIN recv r ON r.i = w.ci AND r.j = w.cj
+),
+flen AS MATERIALIZED (
+  SELECT w.si AS i, w.sj AS j,
+         SUM(CASE WHEN o.dj <> 0 AND o.di <> 0 THEN 0 ELSE 1 END) AS ncard,
+         SUM(CASE WHEN o.dj <> 0 AND o.di <> 0 THEN 1 ELSE 0 END) AS ndiag
+  FROM walk w
+  JOIN fdir f ON f.i = w.ci AND f.j = w.cj AND f.code > 0
+  JOIN d8off o ON o.code = f.code
+  GROUP BY 1, 2
+),
+tiles0 AS (SELECT a.tx AS tx, b.ty AS ty FROM range(0, 4) a(tx), range(0, 4) b(ty))
+SELECT CAST(t.tx AS INT) AS tile_x, CAST(t.ty AS INT) AS tile_y,
+       'flowlen_card' AS band,
+       CAST(COUNT(c.i) AS BIGINT) AS n_valid,
+       ROUND(COALESCE(SUM(CAST(ROUND(COALESCE(fl.ncard, 0) * 1000000.0)
+                               AS BIGINT)), 0) / 1000000.0, 4) AS tile_sum
+FROM tiles0 t
+LEFT JOIN dem c ON c.i // 16 = t.tx AND c.j // 16 = t.ty
+LEFT JOIN flen fl ON fl.i = c.i AND fl.j = c.j
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(t.tx AS INT), CAST(t.ty AS INT), 'flowlen_diag',
+       CAST(COUNT(c.i) AS BIGINT),
+       ROUND(COALESCE(SUM(CAST(ROUND(COALESCE(fl.ndiag, 0) * 1000000.0)
+                               AS BIGINT)), 0) / 1000000.0, 4)
+FROM tiles0 t
+LEFT JOIN dem c ON c.i // 16 = t.tx AND c.j // 16 = t.ty
+LEFT JOIN flen fl ON fl.i = c.i AND fl.j = c.j
+GROUP BY 1, 2
+"""
+
+
 _TREND_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch-µs
 
 
@@ -2711,6 +2832,8 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_hotspot": (sq_hotspot, SQ_HOTSPOT_SQL),
     "sq_trend": (sq_trend, SQ_TREND_SQL),
     "sq_openness": (sq_openness, SQ_OPENNESS_SQL),
+    "sq_flowlen": (sq_flowlen, SQ_FLOWLEN_SQL),
+    "sq_zonal_geom": (sq_zonal_geom, SQ_ZONAL_GEOM_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),

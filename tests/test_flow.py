@@ -462,3 +462,78 @@ def test_weighted_accumulation_matches_whole_array(spark):
     assert out.select("band").distinct().collect()[0].band == "flowaccw"
     got = _acc_from_tiles(out, 16, 64, 64)
     np.testing.assert_allclose(got.ravel(), acc_ref, equal_nan=True)
+
+
+def brute_flow_length(dirs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cardinal, diagonal) step counts to the terminal pit, per cell."""
+    H, W = dirs.shape
+    off = {c: (dj, di) for c, dj, di, _ in flow.D8_OFFSETS}
+    diag = {2, 8, 32, 128}
+    card = np.full((H, W), np.nan)
+    diagp = np.full((H, W), np.nan)
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(dirs[j, i]):
+                continue
+            cj, ci, nc_, nd_ = j, i, 0, 0
+            while True:
+                code = int(dirs[cj, ci])
+                if code == 0:
+                    break
+                dj, di = off[code]
+                if code in diag:
+                    nd_ += 1
+                else:
+                    nc_ += 1
+                cj, ci = cj + dj, ci + di
+            card[j, i], diagp[j, i] = nc_, nd_
+    return card, diagp
+
+
+def test_flow_length_distributed(spark):
+    """16-tile downstream flow length == brute per-cell path walking on
+    the saddle DEM: paths cross many tile borders (max in-tile chain is
+    far shorter than the measured maxima), so the carried-count chain
+    fixpoint is exercised end to end."""
+    arr = fixtures.dem_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    out = flow.flow_length(dir_tiles, 16, spark)
+    got_c = _acc_from_tiles(
+        out.filter(out.band == "flowlen_card"), 16, 64, 64
+    )
+    got_d = _acc_from_tiles(
+        out.filter(out.band == "flowlen_diag"), 16, 64, 64
+    )
+    want_c, want_d = brute_flow_length(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got_c, want_c, equal_nan=True)
+    np.testing.assert_allclose(got_d, want_d, equal_nan=True)
+    # the fixture genuinely has multi-tile paths (> T steps)
+    assert np.nanmax(want_c + want_d) > 16
+
+
+def test_flow_length_ragged(spark):
+    """Ragged tiling (20x40): sentinel-aliased edges resolve and pits
+    keep length 0."""
+    arr = fixtures.dem_arith(size=64)[:20, :40].copy()
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    out = flow.flow_length(dir_tiles, 16, spark)
+    got_c = _acc_from_tiles(
+        out.filter(out.band == "flowlen_card"), 16, 20, 40
+    )
+    got_d = _acc_from_tiles(
+        out.filter(out.band == "flowlen_diag"), 16, 20, 40
+    )
+    dirs_whole = flow.flow_direction_kernel(arr)
+    want_c, want_d = brute_flow_length(dirs_whole)
+    np.testing.assert_allclose(got_c, want_c, equal_nan=True)
+    np.testing.assert_allclose(got_d, want_d, equal_nan=True)
+    pits = np.nan_to_num(dirs_whole, nan=-1) == 0
+    assert (got_c[pits] == 0).all() and (got_d[pits] == 0).all()

@@ -260,3 +260,44 @@ def test_zonal_categorical_majority_minority_variety(spark):
     # a tie actually exercises the rule somewhere, or the fixture is
     # too easy — assert at least one zone has multiple classes
     assert any(v[3] > 1 for v in want.values())
+
+
+def test_zonal_geometry_matches_bruteforce(spark):
+    """Tiled per-zone area/perimeter (one 1-halo exchange) == explicit
+    per-cell edge enumeration, including nodata speckle, the solid
+    nodata block, the raster rim, and zones crossing tile seams."""
+    arr = fixtures.raster_arith(size=64)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="zone"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    got = {
+        r.zone: (r.area_cells, r.perimeter, r.compactness)
+        for r in zonal.zonal_geometry(tiles, 16).collect()
+    }
+    import math
+
+    want: dict[int, list[int]] = {}
+    H, W = arr.shape
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(arr[j, i]):
+                continue
+            z = int(arr[j, i])
+            a_p = want.setdefault(z, [0, 0])
+            a_p[0] += 1
+            for dj, di in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                nj, ni = j + dj, i + di
+                if not (0 <= nj < H and 0 <= ni < W):
+                    a_p[1] += 1
+                elif not np.isfinite(arr[nj, ni]) or int(arr[nj, ni]) != z:
+                    a_p[1] += 1
+    assert set(got) == set(want)
+    for z, (a, p) in want.items():
+        ga, gp, gc = got[z]
+        assert (ga, gp) == (a, p), f"zone {z}"
+        assert abs(gc - 4.0 * math.pi * a / (p * p)) < 1e-6
+    # the fixture genuinely exercises seams: some zone touches >1 tile
+    zs = {(int(arr[j, i]), j // 16, i // 16)
+          for j in range(H) for i in range(W) if np.isfinite(arr[j, i])}
+    assert len({t for t in zs}) > len(want)
