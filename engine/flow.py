@@ -952,6 +952,7 @@ def flow_length(
     level: int = 0,
     wrap_nx: int | None = None,
     max_rounds: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Downstream flow length: for every valid cell, the along-path
     distance to its terminal pit on the D8 graph (ESRI FlowLength,
@@ -1095,10 +1096,12 @@ def flow_length(
         (F.col("ldd") + F.col("dd")).alias("dd"),
     ).localCheckpoint(eager=True)
 
+    rounds = 0
     for _ in range(max_rounds):
         pending = chain.filter(F.col("val") < 0)
         if pending.isEmpty():
             break
+        rounds += 1
         nxt = chain.select(
             F.col("okey").alias("nokey"), F.col("val").alias("nval"),
             F.col("dc").alias("ndc"), F.col("dd").alias("ndd"),
@@ -1127,6 +1130,8 @@ def flow_length(
         raise RuntimeError(
             f"flow_length chain did not resolve in {max_rounds} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
 
     tile_map = (
         links.select(F.col("okey").alias("src_okey"))

@@ -1404,3 +1404,82 @@ GROUP BY 1
 """
 
 TEXT_QUERIES["q40_repetition"] = (q40_repetition, Q40_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q41: corpus-LM quality scoring (the CCNet/KenLM filtering stage,
+# unigram flavor): score every document by its mean token log-
+# probability under the corpus's own unigram distribution and count
+# low-quality (surprising) documents per source. Distributed shape:
+# token explode → ONE two-phase hash agg for vocab counts → ONE
+# token-key shuffle join back (vocab is unbounded in principle, so no
+# broadcast) → per-doc agg → per-source rollup. Determinism: per-token
+# log-probs are quantized to integer micro-nats BEFORE any summation,
+# so only a libm ln() ulp landing exactly on a half micro-nat could
+# move the hash (the slope/atan exposure class, SURVEY §5.3).
+# ---------------------------------------------------------------------------
+
+_LOWQ_MICRO = -7_000_000  # score < -7.0 nats/token = "low quality"
+
+
+def q41_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source LM-quality profile: docs, mean per-doc unigram
+    log-prob (nats/token, 6dp), low-quality doc count."""
+    d = _T(spark, sf, "documents").select(
+        "doc_id", "source", _toks(F.col("text")).alias("tk")
+    )
+    toks = d.select("doc_id", "source", F.explode("tk").alias("t"))
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c")).collect()[0][0]  # one scalar
+    vq = vocab.select(
+        "t",
+        F.round(F.log(F.col("c") / F.lit(float(total))) * 1e6)
+        .cast("long").alias("q"),
+    )
+    per_doc = (
+        toks.join(vq, "t")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.sum("q") / F.count(F.lit(1)))
+            .cast("long").alias("sq"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.round(F.sum("sq") / (F.count(F.lit(1)) * 1e6), 6)
+             .alias("avg_logprob"),
+            F.sum((F.col("sq") < _LOWQ_MICRO).cast("long"))
+             .alias("low_quality_docs"),
+        )
+        .select("source", "docs", "avg_logprob", "low_quality_docs")
+    )
+
+
+Q41_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS_SQL}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+vq AS (
+  SELECT t, CAST(ROUND(LN(c / (SELECT total FROM tot)) * 1e6) AS BIGINT)
+           AS q
+  FROM vocab
+),
+per_doc AS (
+  SELECT w.doc_id, w.source,
+         CAST(ROUND(SUM(v.q) / COUNT(*)) AS BIGINT) AS sq
+  FROM toks w JOIN vq v ON v.t = w.t
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       ROUND(SUM(sq) / (COUNT(*) * 1e6), 6) AS avg_logprob,
+       CAST(SUM(CASE WHEN sq < {_LOWQ_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_quality_docs
+FROM per_doc GROUP BY 1
+"""
+
+TEXT_QUERIES["q41_unigram_logprob"] = (q41_unigram_logprob, Q41_SQL)

@@ -537,3 +537,30 @@ def test_flow_length_ragged(spark):
     np.testing.assert_allclose(got_d, want_d, equal_nan=True)
     pits = np.nan_to_num(dirs_whole, nan=-1) == 0
     assert (got_c[pits] == 0).all() and (got_d[pits] == 0).all()
+
+
+def test_flow_length_long_chain_plan_shape(spark):
+    """Scale guarantee (the accumulation/watershed contract, applied to
+    lengths): on a 64-tile chain the direction planes ship at most
+    twice and the carried-count fixpoint is O(log chain) rounds over
+    border rows only. Asserted exactly like the accumulation test: one
+    plane-bearing MapInPandas (paint), stage 1 behind a
+    localCheckpoint, and a doubling-shaped round count."""
+    arr = np.tile(np.arange(512, 0, -1, dtype=np.float64), (8, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 8)
+    stats: dict = {}
+    out = flow.flow_length(dir_tiles, 8, spark, stats=stats)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    got_c = _acc_from_tiles(
+        out.filter(out.band == "flowlen_card"), 8, 8, 512
+    )
+    want_c, want_d = brute_flow_length(flow.flow_direction_kernel(arr))
+    np.testing.assert_allclose(got_c, want_c, equal_nan=True)
+    assert want_d.max() == 0 and want_c.max() == 511
+    assert 1 <= stats["rounds"] <= 9, stats
