@@ -2,8 +2,10 @@
 
 entry(spark)   — flagship pipeline on /root/testdata/sf0.001
 queries()      — one entry per implemented operator (SURVEY.md §2)
-oracle_sql()   — matching DuckDB SQL for EVERY queries() entry (51 as
-                 of round 4, zero rows-only): 2-D spatial ops are
+oracle_sql()   — matching DuckDB SQL for EVERY queries() entry (the
+                 registries stay in 1:1 lockstep — zero rows-only
+                 entries; len(queries()) is the count): 2-D spatial
+                 ops are
                  value-hash-checked via contribution joins, recursive
                  CTEs (CCL, flow paths, Jacobi fill/cost relaxations,
                  unrolled Sutherland–Hodgman stages) and quantized

@@ -614,14 +614,11 @@ def watershed(
     else:
         raise RuntimeError(f"watershed chain did not resolve in {max_rounds} rounds")
 
-    # paint: per-tile pending okeys -> final gid, remapped next to the payload
-    tile_map = (
-        links.select(
-            F.col("okey").alias("src_okey")
-        )
-        .join(chain, F.col("src_okey") == F.col("okey"))
-        .select("okey", "val")
-    )
+    # paint: per-tile pending okeys -> final gid, remapped next to the
+    # payload. chain rows ARE exactly the link okeys (links ⋈ edges
+    # preserves them one-to-one; a missing edge row is caught loudly by
+    # the paint guard), so the resolved chain is already the map.
+    tile_map = chain.select("okey", "val")
     # okey encodes the source cell's global coords -> source tile
     src = tile_map.select(
         (F.shiftrightunsigned("okey", 32) / T).cast("int").alias("tile_y"),
@@ -1133,11 +1130,10 @@ def flow_length(
     if stats is not None:
         stats["rounds"] = rounds
 
-    tile_map = (
-        links.select(F.col("okey").alias("src_okey"))
-        .join(chain, F.col("src_okey") == F.col("okey"))
-        .select("okey", "dc", "dd")
-    )
+    # chain rows ARE exactly the link okeys (links ⋈ edges preserves
+    # them one-to-one; a missing edge row is caught loudly by the paint
+    # guard), so the resolved chain is already the okey → counts map
+    tile_map = chain.select("okey", "dc", "dd")
     src = tile_map.select(
         (F.shiftrightunsigned("okey", 32) / T).cast("int").alias("tile_y"),
         (F.col("okey").bitwiseAND(F.lit(0xFFFFFFFF)) / T)

@@ -1947,12 +1947,12 @@ def sq_zonal_geom(spark: SparkSession, sf: str) -> DataFrame:
 
 SQ_ZONAL_GEOM_SQL = f"""
 WITH {_RASTER_ARITH_SQL},
+-- adj (same-class rook pairs) comes from _RASTER_ARITH_SQL — one
+-- definition of adjacency shared with the CCL oracles
 per AS (
-  SELECT c.klass, c.id, 4 - COUNT(n.id) AS p
+  SELECT c.klass, c.id, 4 - COUNT(a.b) AS p
   FROM cells c
-  LEFT JOIN cells n ON n.klass = c.klass
-   AND ((ABS(c.i - n.i) = 1 AND c.j = n.j)
-     OR (c.i = n.i AND ABS(c.j - n.j) = 1))
+  LEFT JOIN adj a ON a.a = c.id
   GROUP BY c.klass, c.id
 )
 SELECT CAST(klass AS BIGINT) AS zone,

@@ -1188,7 +1188,10 @@ TEXT_QUERIES["q38_span_dedup"] = (q38_span_dedup, Q38_SQL)
 # corpus-sized window stream semi-joins against it map-side with zero
 # shuffle of train windows. q38's shuffle-join shape is what you use
 # when the dup set is unbounded; this broadcast shape is what you use
-# when it provably isn't.
+# when it provably isn't — which is why the carve below is BOUNDED
+# (doc_id < BENCH_MOD**2 AND doc_id % BENCH_MOD == 0 ⇒ at most
+# BENCH_MOD docs at ANY corpus size), matching how a real benchmark
+# set is fixed while the training corpus grows.
 # ---------------------------------------------------------------------------
 
 _BENCH_MOD = 97
@@ -1213,7 +1216,9 @@ def q39_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     d = _T(spark, sf, "documents").select(
         "doc_id", "source", _toks(F.col("text")).alias("tk")
     )
-    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    is_bench = (F.col("doc_id") % _BENCH_MOD == 0) & (
+        F.col("doc_id") < _BENCH_MOD * _BENCH_MOD
+    )
     bench_g = (
         d.filter(is_bench)
         .select(F.explode(_gram_md5(n)).alias("g"))
@@ -1261,16 +1266,23 @@ grams AS (
                        ' ')))) AS g
   FROM toks WHERE len(tk) >= {_SPAN_N}
 ),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+bench AS (
+  SELECT DISTINCT g FROM grams
+  WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_MOD * _BENCH_MOD}
+),
 hits AS (
   SELECT w.doc_id, w.source, COUNT(*) AS nw
   FROM grams w JOIN bench b ON b.g = w.g
-  WHERE w.doc_id % {_BENCH_MOD} <> 0
+  WHERE NOT (w.doc_id % {_BENCH_MOD} = 0
+             AND w.doc_id < {_BENCH_MOD * _BENCH_MOD})
   GROUP BY 1, 2
 ),
 base AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS train_docs
-  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0 GROUP BY 1
+  FROM documents
+  WHERE NOT (doc_id % {_BENCH_MOD} = 0
+             AND doc_id < {_BENCH_MOD * _BENCH_MOD})
+  GROUP BY 1
 )
 SELECT b.source, b.train_docs,
        CAST(COUNT(h.doc_id) AS BIGINT) AS contaminated_docs,
@@ -1430,10 +1442,13 @@ def q41_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
     toks = d.select("doc_id", "source", F.explode("tk").alias("t"))
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c")).collect()[0][0]  # one scalar
-    vq = vocab.select(
+    # total tokens as a LAZY broadcast scalar (the oracle's `tot` CTE):
+    # no driver-side action at plan-build time, and the duplicated
+    # vocab subtree collapses to one computation via ReusedExchange
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
         "t",
-        F.round(F.log(F.col("c") / F.lit(float(total))) * 1e6)
+        F.round(F.log(F.col("c") / F.col("total")) * 1e6)
         .cast("long").alias("q"),
     )
     per_doc = (
