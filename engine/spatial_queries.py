@@ -1964,6 +1964,68 @@ FROM per GROUP BY 1
 """
 
 
+_PCT_QS = (0.25, 0.5, 0.9)
+
+
+def sq_zonal_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-zone discrete percentiles (zonal.zonal_percentile) of
+    the integer band FLOOR(dem·2) over the Voronoi zones — rank
+    ceil(q·n), the G4 convention. Per-(zone, value) counts reduce
+    map-side; the oracle replays the identical running-count rank
+    pick."""
+    import numpy as np
+    import pandas as pd
+
+    from engine import algebra, fixtures, zonal
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(
+                    fixtures.raster_arith(size=64), 16, band="zone"
+                ),
+                fixtures.tiles_rows_from_array(
+                    fixtures.dem_arith(size=64), 16, band="z"
+                ),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    vb = algebra.local_map(
+        tiles, 16, "v", lambda got: np.floor(got["z"] * 2.0), ["z"]
+    )
+    return zonal.zonal_percentile(
+        tiles.unionByName(vb), 16, zone_band="zone", value_band="v",
+        qs=_PCT_QS,
+    )
+
+
+SQ_ZONAL_PCT_SQL = f"""
+WITH {_RASTER_ARITH_SQL},
+{_DEM_SQL},
+cnt AS (
+  SELECT c.klass AS zone, CAST(FLOOR(d.z * 2.0) AS BIGINT) AS v,
+         COUNT(*) AS n
+  FROM cells c JOIN dem d ON d.i = c.i AND d.j = c.j
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT zone, v,
+         SUM(n) OVER (PARTITION BY zone ORDER BY v) AS cum,
+         SUM(n) OVER (PARTITION BY zone) AS total
+  FROM cnt
+),
+qs(q) AS (VALUES (0.25), (0.5), (0.9))
+SELECT CAST(c.zone AS BIGINT) AS zone, q.q AS q,
+       CAST(MIN(c.v) AS BIGINT) AS pct_value
+FROM cum c JOIN qs q ON c.cum >= CEIL(q.q * c.total)
+GROUP BY 1, 2
+"""
+
+
 def sq_flowlen(spark: SparkSession, sf: str) -> DataFrame:
     """Downstream flow length (flow.flow_length) on the arithmetic
     DEM's D8 graph: per-cell cardinal/diagonal step counts to the
@@ -2834,6 +2896,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_openness": (sq_openness, SQ_OPENNESS_SQL),
     "sq_flowlen": (sq_flowlen, SQ_FLOWLEN_SQL),
     "sq_zonal_geom": (sq_zonal_geom, SQ_ZONAL_GEOM_SQL),
+    "sq_zonal_pct": (sq_zonal_pct, SQ_ZONAL_PCT_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),

@@ -1498,3 +1498,85 @@ FROM per_doc GROUP BY 1
 """
 
 TEXT_QUERIES["q41_unigram_logprob"] = (q41_unigram_logprob, Q41_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q42: cross-source duplication matrix — the dedup ANALYTICS view on
+# top of D1: for every ordered source pair (a < b), how many distinct
+# exact-duplicate texts they share and how many cross-source copy
+# pairs that represents. Real pipelines read this to find mirror sites
+# / syndication before choosing a canonical-source rule. Distributed
+# shape: md5 groupBy (two-phase, map-side combine) → hash-key
+# self-join of the per-(hash, source) count table against itself —
+# per-hash rows are bounded by the SOURCE COUNT (not the copy count),
+# so the join fan-out is ≤ |sources|² per hash at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def q42_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered source-pair overlap at two granularities — 'exact'
+    (whole-text md5) and 'prefix8' (md5 of the first 8 tokens, the
+    cheap near-mirror fingerprint); only pairs sharing >= 1 key
+    appear."""
+    docs = _T(spark, sf, "documents").select(
+        "source", F.col("text").alias("tx"),
+        _toks(F.col("text")).alias("tk"),
+    )
+    keys = {
+        "exact": F.md5("tx"),
+        "prefix8": F.md5(F.concat_ws(" ", F.slice("tk", 1, 8))),
+    }
+    out = None
+    for gran, kcol in keys.items():
+        hs = (
+            docs.select(kcol.alias("h"), "source")
+            .groupBy("h", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a = hs.select(
+            "h", F.col("source").alias("src_a"), F.col("n").alias("na")
+        )
+        b = hs.select(
+            "h", F.col("source").alias("src_b"), F.col("n").alias("nb")
+        )
+        g = (
+            a.join(b, "h")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("shared_texts"),
+                F.sum(F.col("na") * F.col("nb")).cast("long")
+                 .alias("copy_pairs"),
+            )
+            .select(
+                F.lit(gran).alias("granularity"),
+                "src_a", "src_b", "shared_texts", "copy_pairs",
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+Q42_SQL = rf"""
+WITH keyed AS (
+  SELECT 'exact' AS granularity, md5(text) AS h, source FROM documents
+  UNION ALL
+  SELECT 'prefix8',
+         md5(array_to_string(
+               ({_TOKS_SQL})[1:8], ' ')),
+         source
+  FROM documents
+),
+hs AS (
+  SELECT granularity, h, source, COUNT(*) AS n
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT a.granularity, a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_texts,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS copy_pairs
+FROM hs a JOIN hs b
+  ON b.granularity = a.granularity AND b.h = a.h AND a.source < b.source
+GROUP BY 1, 2, 3
+"""
+
+TEXT_QUERIES["q42_source_overlap"] = (q42_source_overlap, Q42_SQL)

@@ -31,10 +31,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "cross_tab",
     "global_stats",
-    "zonal_geometry",
     "quantile_exact",
     "raster_histogram",
     "rasterize_zones",
+    "zonal_categorical",
+    "zonal_geometry",
+    "zonal_percentile",
     "zonal_stats",
 ]
 
@@ -541,3 +543,49 @@ def zonal_geometry(
             6,
         ).alias("compactness"),
     )
+
+
+def zonal_percentile(
+    tiles: DataFrame,
+    T: int,
+    zone_band: str = "zone",
+    value_band: str = "v",
+    qs: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Exact per-zone discrete percentiles of an INTEGER-valued band
+    (round 4; the zonal family's missing order statistic). Pinned
+    semantics (G4's): percentile q = the element at rank ceil(q·n) of
+    the zone's sorted values (DuckDB quantile_disc) — EXACT, no
+    interpolation or sketch. The integer-band contract is what makes
+    exactness scale: per-(zone, value) COUNTS are a complete sufficient
+    statistic, so the raster reduces map-side.
+
+    Scale design: cross_tab's per-tile pair partials (shuffle ∝
+    distinct (zone, value) pairs per tile, never T²), then a running
+    count over the per-zone value-ordered pair table — a window over
+    rows ∝ zones × distinct values, never cells — and one min(v) pick
+    per requested q."""
+    from pyspark.sql import Window
+
+    pairs = cross_tab(tiles, T, zone_band, value_band).select(
+        F.col("ca").alias("zone"),
+        F.col("cb").alias("v"),
+        F.col("n_cells").alias("n"),
+    )
+    w = Window.partitionBy("zone").orderBy("v")
+    cum = pairs.select(
+        "zone", "v",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("zone")).alias("total"),
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("total"))
+        sel = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("zone")
+            .agg(F.min("v").alias("pct_value"))
+            .select("zone", F.lit(float(q)).alias("q"), "pct_value")
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
