@@ -2018,7 +2018,7 @@ cum AS (
          SUM(n) OVER (PARTITION BY zone) AS total
   FROM cnt
 ),
-qs(q) AS (VALUES (0.25), (0.5), (0.9))
+qs(q) AS (VALUES {", ".join(f"({q})" for q in _PCT_QS)})
 SELECT CAST(c.zone AS BIGINT) AS zone, q.q AS q,
        CAST(MIN(c.v) AS BIGINT) AS pct_value
 FROM cum c JOIN qs q ON c.cum >= CEIL(q.q * c.total)

@@ -1518,43 +1518,48 @@ def q42_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     (whole-text md5) and 'prefix8' (md5 of the first 8 tokens, the
     cheap near-mirror fingerprint); only pairs sharing >= 1 key
     appear."""
-    docs = _T(spark, sf, "documents").select(
-        "source", F.col("text").alias("tx"),
-        _toks(F.col("text")).alias("tk"),
+    tk = _toks(F.col("text"))
+    # both keys emitted from ONE scan (map-side explode of a 2-element
+    # struct array — no second pass over the corpus)
+    keyed = _T(spark, sf, "documents").select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("granularity"),
+                    F.md5("text").alias("h"),
+                ),
+                F.struct(
+                    F.lit("prefix8").alias("granularity"),
+                    F.md5(F.concat_ws(" ", F.slice(tk, 1, 8))).alias("h"),
+                ),
+            )
+        ).alias("k"),
+    ).select("source", "k.granularity", "k.h")
+    hs = keyed.groupBy("granularity", "h", "source").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    keys = {
-        "exact": F.md5("tx"),
-        "prefix8": F.md5(F.concat_ws(" ", F.slice("tk", 1, 8))),
-    }
-    out = None
-    for gran, kcol in keys.items():
-        hs = (
-            docs.select(kcol.alias("h"), "source")
-            .groupBy("h", "source")
-            .agg(F.count(F.lit(1)).alias("n"))
+    a = hs.select(
+        "granularity", "h",
+        F.col("source").alias("src_a"), F.col("n").alias("na"),
+    )
+    b = hs.select(
+        "granularity", "h",
+        F.col("source").alias("src_b"), F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, ["granularity", "h"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("granularity", "src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_texts"),
+            F.sum(F.col("na") * F.col("nb")).cast("long")
+             .alias("copy_pairs"),
         )
-        a = hs.select(
-            "h", F.col("source").alias("src_a"), F.col("n").alias("na")
+        .select(
+            "granularity", "src_a", "src_b", "shared_texts", "copy_pairs",
         )
-        b = hs.select(
-            "h", F.col("source").alias("src_b"), F.col("n").alias("nb")
-        )
-        g = (
-            a.join(b, "h")
-            .filter(F.col("src_a") < F.col("src_b"))
-            .groupBy("src_a", "src_b")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("shared_texts"),
-                F.sum(F.col("na") * F.col("nb")).cast("long")
-                 .alias("copy_pairs"),
-            )
-            .select(
-                F.lit(gran).alias("granularity"),
-                "src_a", "src_b", "shared_texts", "copy_pairs",
-            )
-        )
-        out = g if out is None else out.unionByName(g)
-    return out
+    )
 
 
 Q42_SQL = rf"""

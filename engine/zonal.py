@@ -578,14 +578,15 @@ def zonal_percentile(
         F.sum("n").over(w).alias("cum"),
         F.sum("n").over(Window.partitionBy("zone")).alias("total"),
     )
-    out = None
-    for q in qs:
-        rank = F.ceil(F.lit(float(q)) * F.col("total"))
-        sel = (
-            cum.filter(F.col("cum") >= rank)
-            .groupBy("zone")
-            .agg(F.min("v").alias("pct_value"))
-            .select("zone", F.lit(float(q)).alias("q"), "pct_value")
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    # one plan branch for ALL quantiles: cross the (tiny) pair table
+    # with the q literals, filter once, pick min(v) per (zone, q) —
+    # the exact shape of the oracle's qs(q) VALUES join
+    sess = tiles.sparkSession
+    qdf = sess.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("zone", "q")
+        .agg(F.min("v").alias("pct_value"))
+        .select("zone", "q", "pct_value")
+    )

@@ -301,3 +301,40 @@ def test_zonal_geometry_matches_bruteforce(spark):
     zs = {(int(arr[j, i]), j // 16, i // 16)
           for j in range(H) for i in range(W) if np.isfinite(arr[j, i])}
     assert len({t for t in zs}) > len(want)
+
+
+def test_zonal_percentile_matches_bruteforce(spark):
+    """Tiled rank-pick percentiles == explicit sorted-rank selection
+    per zone (the G4 ceil(q*n) convention), independent of the oracle's
+    own running-count formulation."""
+    zones = fixtures.raster_arith(size=64)
+    dem = fixtures.dem_arith(size=64)
+    vals = np.floor(dem * 2.0)
+    tiles = spark.createDataFrame(
+        pd.concat(
+            [
+                fixtures.tiles_rows_from_array(zones, 16, band="zone"),
+                fixtures.tiles_rows_from_array(vals, 16, band="v"),
+            ],
+            ignore_index=True,
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    qs = (0.25, 0.5, 0.9)
+    got = {
+        (r.zone, r.q): r.pct_value
+        for r in zonal.zonal_percentile(
+            tiles, 16, zone_band="zone", value_band="v", qs=qs
+        ).collect()
+    }
+    ok = np.isfinite(zones) & np.isfinite(vals)
+    want = {}
+    for z in np.unique(zones[ok].astype(np.int64)):
+        vz = np.sort(vals[ok & (zones == z)].astype(np.int64))
+        for q in qs:
+            # element at rank ceil(q*n), 1-indexed
+            want[(z, q)] = vz[int(np.ceil(q * len(vz))) - 1]
+    assert got == want
+    # sanity: multiple zones, and the quartile spread is real
+    assert len({z for z, _ in want}) >= 3
+    assert any(want[(z, 0.25)] < want[(z, 0.9)] for z, _ in want)
