@@ -44,6 +44,7 @@ __all__ = [
     "focal_interspersion",
     "focal_majority",
     "focal_mean",
+    "focal_percentile",
     "focal_proportion",
     "focal_richness",
     "focal_shannon",
@@ -386,6 +387,27 @@ def focal_majority(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np
     best = np.argmax(counts_i, axis=0)  # first (= smallest class) wins ties
     out = classes[best].astype(np.float64)
     out[total == 0] = np.nan
+    return out
+
+
+def focal_percentile(
+    class_arr: np.ndarray, r: int, q: float = 0.5, shape: Shape = "square"
+) -> np.ndarray:
+    """W33: exact discrete focal percentile of an INTEGER-valued band —
+    the value at rank ceil(q*n) among the window's valid cells (the
+    repo-wide G4/A11 order-statistic convention; q=0.5 = focal median).
+    NaN where the window has no valid cells. Same bounded-distinct-
+    values contract as majority/richness: per-class chord sums are the
+    sufficient statistic, so the kernel is exact with zero sorting and
+    the cost is O(distinct values) sliding sums."""
+    classes, counts, total = _class_counts(class_arr, r, shape)
+    if len(classes) == 0:
+        return np.full(class_arr.shape, np.nan)
+    cum = np.cumsum(np.rint(counts), axis=0)
+    rank = np.ceil(q * np.rint(total))
+    pick = np.argmax(cum >= rank[None, ...], axis=0)
+    out = classes[pick].astype(np.float64)
+    out[np.rint(total) == 0] = np.nan
     return out
 
 

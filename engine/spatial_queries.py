@@ -151,6 +151,9 @@ def sq_focal_multi(spark: SparkSession, sf: str) -> DataFrame:
         # (SAT partial sums of ints are order-free), so the oracle's
         # contribution-form sums land bit-identically
         "std": kernels.focal_std,
+        # round 4 (W33): exact focal MEDIAN — rank ceil(n/2) over the
+        # window's valid integer counts, zero float arithmetic
+        "median": lambda a, r, s: kernels.focal_percentile(a, r, 0.5, s),
     }
     out = tiling.apply_focal(
         tiles, 5, "square", stats, T, level=level, wrap_nx=(2**level) // T
@@ -184,6 +187,21 @@ cwt AS (
   SELECT (((c.gi + o.di) % 512) + 512) % 512 AS gi, c.gj + o.dj AS gj,
          SUM(o.w * c.v) AS num, SUM(o.w) AS den
   FROM cnt c CROSS JOIN dk o GROUP BY 1, 2
+),
+medc AS (
+  SELECT (((c.gi + o.di) % 512) + 512) % 512 AS gi, c.gj + o.dj AS gj,
+         c.v AS v, COUNT(*) AS nv
+  FROM cnt c CROSS JOIN sq o GROUP BY 1, 2, 3
+),
+medp AS (
+  SELECT gi, gj, v,
+         SUM(nv) OVER (PARTITION BY gi, gj ORDER BY v) AS cum,
+         SUM(nv) OVER (PARTITION BY gi, gj) AS tot
+  FROM medc
+),
+med AS (
+  SELECT gi, gj, MIN(v) AS mv
+  FROM medp WHERE cum >= CEIL(0.5 * tot) GROUP BY 1, 2
 )
 SELECT CAST(p.tx AS INT) AS tile_x, CAST(p.ty AS INT) AS tile_y, 'sum' AS band,
        COUNT(*) AS n_valid, ROUND(SUM(COALESCE(c.s, 0.0)), 4) AS tile_sum
@@ -206,6 +224,13 @@ SELECT CAST(p.tx AS INT), CAST(p.ty AS INT), 'std',
          SQRT(GREATEST(c.s2 / c.n - (c.s / c.n) * (c.s / c.n), 0.0))
        ), 0.0), 4)
 FROM px p LEFT JOIN csq c ON c.gi = p.gi AND c.gj = p.gj
+GROUP BY 1, 2
+UNION ALL
+-- W33 focal median: rank ceil(n/2) over valid window cells — integer
+-- values, so the tile sum is exact in both engines
+SELECT CAST(p.tx AS INT), CAST(p.ty AS INT), 'median',
+       COUNT(m.mv), ROUND(COALESCE(SUM(m.mv), 0.0), 4)
+FROM px p LEFT JOIN med m ON m.gi = p.gi AND m.gj = p.gj
 GROUP BY 1, 2
 """
 

@@ -341,3 +341,30 @@ def test_focal_std_brute():
             rtol=0, atol=1e-9,
         )
         assert np.nanmax(got) > 0.1
+
+
+@pytest.mark.parametrize("shape", ["square", "circle"])
+@pytest.mark.parametrize("r", [1, 3])
+@pytest.mark.parametrize("q", [0.25, 0.5, 0.9])
+def test_focal_percentile_brute(class_arr, shape, r, q):
+    """W33 rank-ceil(q*n) pick over window valid cells == explicit
+    per-window sorted selection, incl. NaN speckle and boundaries."""
+    got = kernels.focal_percentile(class_arr, r, q, shape)
+    H, W = class_arr.shape
+    want = np.full((H, W), np.nan)
+    chords = kernels.chords_for(shape, r)
+    for y in range(H):
+        for x in range(W):
+            vals = []
+            for dy, lo, hi in chords:
+                yy = y + dy
+                if not (0 <= yy < H):
+                    continue
+                for xx in range(max(0, x + lo), min(W, x + hi + 1)):
+                    v = class_arr[yy, xx]
+                    if np.isfinite(v):
+                        vals.append(v)
+            if vals:
+                vals.sort()
+                want[y, x] = vals[math.ceil(q * len(vals)) - 1]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
