@@ -44,6 +44,7 @@ __all__ = [
     "focal_interspersion",
     "focal_majority",
     "focal_mean",
+    "focal_minority",
     "focal_percentile",
     "focal_proportion",
     "focal_richness",
@@ -387,6 +388,23 @@ def focal_majority(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np
     best = np.argmax(counts_i, axis=0)  # first (= smallest class) wins ties
     out = classes[best].astype(np.float64)
     out[total == 0] = np.nan
+    return out
+
+
+def focal_minority(
+    class_arr: np.ndarray, r: int, shape: Shape = "square"
+) -> np.ndarray:
+    """W34: LEAST-frequent class among classes PRESENT in the window;
+    tie → smallest class id (the zonal_categorical minority rule at
+    focal granularity); NaN where the window has no valid cells."""
+    classes, counts, total = _class_counts(class_arr, r, shape)
+    if len(classes) == 0:
+        return np.full(class_arr.shape, np.nan)
+    counts_i = np.rint(counts)
+    masked = np.where(counts_i > 0, counts_i, np.inf)  # absent classes lose
+    best = np.argmin(masked, axis=0)  # first (= smallest class) wins ties
+    out = classes[best].astype(np.float64)
+    out[np.rint(total) == 0] = np.nan
     return out
 
 

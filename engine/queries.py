@@ -845,6 +845,61 @@ FROM ({_q37_sql()})
 """
 
 
+def q43_balanced_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture rebalancing (engine/sampling.balanced_downsample, D27):
+    every LANGUAGE deterministically downsampled to ≈ the smallest
+    language's size (the corpus is genuinely imbalanced by lang: en is
+    ~3.4× fr) — per-lang before/after counts, an id checksum
+    proving both engines kept the IDENTICAL rows, and the realized
+    fraction."""
+    from engine import sampling
+
+    docs = _T(spark, sf, "documents")
+    kept = sampling.balanced_downsample(docs, "lang", "doc_id")
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return before.join(after, "lang", "left").select(
+        "lang",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        F.coalesce("id_checksum", F.lit(0)).cast("long")
+         .alias("id_checksum"),
+        F.round(
+            F.coalesce("n_after", F.lit(0))
+            / F.col("n_before").cast("double"),
+            6,
+        ).alias("realized_frac"),
+    )
+
+
+def _q43_sql() -> str:
+    from engine import sampling
+
+    b = sampling.bucket_sql("doc_id")
+    return f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT MIN(n) AS mn FROM cnt),
+thr AS (
+  SELECT lang, n, CAST(FLOOR(mn * 10000 / n) AS INT) AS t
+  FROM cnt, mn
+),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN thr ON thr.lang = d.lang
+  WHERE ({b}) < thr.t
+)
+SELECT t.lang, CAST(t.n AS BIGINT) AS n_before,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS id_checksum,
+       ROUND(COUNT(k.doc_id) / CAST(t.n AS DOUBLE), 6) AS realized_frac
+FROM thr t LEFT JOIN kept k ON k.lang = t.lang
+GROUP BY t.lang, t.n
+"""
+
+
 SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_topk_orders_per_customer": (q02_topk_orders_per_customer, Q02_SQL),
@@ -867,4 +922,5 @@ SQL_QUERIES: dict[str, tuple[Query, str]] = {
     "q34_hash_split_sample": (q34_hash_split_sample, _q34s_sql()),
     "q35_stratified_sample": (q35_stratified_sample, _q35_sql()),
     "q36_radius_join": (q36_radius_join, Q36_SQL),
+    "q43_balanced_mixture": (q43_balanced_mixture, _q43_sql()),
 }

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "balanced_downsample",
     "bucket_col",
     "bucket_sql",
     "hash_split",
@@ -138,3 +139,36 @@ def stratified_exact(
 
 def exact_quota(n: int, frac: float) -> int:
     return math.ceil(frac * n)
+
+
+def balanced_downsample(
+    df: DataFrame, group_col: str, key: str
+) -> DataFrame:
+    """Mixture rebalancing (round 4; the source-balancing stage of a
+    pre-training data pipeline): deterministically downsample every
+    group to ≈ the SMALLEST group's size, so the output mixture is
+    uniform across groups. Pinned rule, mirrored by the oracle:
+
+    - per-group keep threshold t_g = floor(min_n · 10000 / n_g) —
+      exact integer arithmetic below 2^53 in both engines;
+    - keep a row iff bucket(key) < t_g (the portable 30-bit hash
+      bucket of hash_split — rerun/repartition/cluster-size stable,
+      and nested with sample_fraction's subsets).
+
+    Shuffle shape: ONE group-count agg (map-side combinable), its
+    1-row min cross-joined lazily, and the tiny per-group threshold
+    table broadcast back onto the stream — the filter itself is
+    map-only column arithmetic, so the plan is flat at any scale."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.col("_n"),
+        F.floor((F.col("_mn") * _BUCKETS) / F.col("_n"))
+        .cast("int").alias("_t"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(bucket_col(F.col(key)) < F.col("_t"))
+        .drop("_n", "_t")
+    )

@@ -368,3 +368,27 @@ def test_focal_percentile_brute(class_arr, shape, r, q):
                 vals.sort()
                 want[y, x] = vals[math.ceil(q * len(vals)) - 1]
     np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
+@pytest.mark.parametrize("shape", ["square", "circle"])
+@pytest.mark.parametrize("r", [1, 3])
+def test_focal_minority_brute(class_arr, shape, r):
+    """W34 least-frequent-present class, smallest-id tie rule."""
+    got = kernels.focal_minority(class_arr, r, shape)
+    H, W = class_arr.shape
+    want = np.full((H, W), np.nan)
+    chords = kernels.chords_for(shape, r)
+    for y in range(H):
+        for x in range(W):
+            cnt: dict[float, int] = {}
+            for dy, lo, hi in chords:
+                yy = y + dy
+                if not (0 <= yy < H):
+                    continue
+                for xx in range(max(0, x + lo), min(W, x + hi + 1)):
+                    v = class_arr[yy, xx]
+                    if np.isfinite(v):
+                        cnt[v] = cnt.get(v, 0) + 1
+            if cnt:
+                want[y, x] = min(cnt, key=lambda c: (cnt[c], c))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
