@@ -117,10 +117,14 @@ class LakeTable:
                 f"snapshot {snap['snapshot_id']} of {self.dir} has no data "
                 "files (every partition is zero-row)"
             )
-        df = (
-            spark.read.option("basePath", os.path.join(self.data_dir, snap["stage_key"]))
-            .parquet(*dirs)
-        )
+        # basePath = the data ROOT (an ancestor of every stage dir):
+        # a compacted snapshot mixes rewritten partitions under its own
+        # stage with carried-by-reference partitions under the source
+        # stage, and Spark requires one common basePath. Stage-level
+        # path segments are not key=value, so the only inferred
+        # directory column is `_part` (dropped below), exactly as with
+        # the old per-stage basePath.
+        df = spark.read.option("basePath", self.data_dir).parquet(*dirs)
         return df.drop("_part") if "_part" in df.columns else df
 
     # -- WAL ----------------------------------------------------------------
@@ -404,3 +408,123 @@ class LakeTable:
             e["part"]: parquet_row_count(e["files"]) == e["row_count"]
             for e in snap["partitions"]
         }
+
+    # -- maintenance: small-file compaction (S9, round 4) ---------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_partition: int = 1,
+        snapshot_id: int | None = None,
+    ) -> dict:
+        """Bin-pack compaction — the table-maintenance op every real
+        lakehouse runs (Iceberg rewrite_data_files / Delta OPTIMIZE):
+        partitions of the (pinned or latest) snapshot holding more than
+        ``max_files_per_partition`` parquet files are rewritten to at
+        most that many files; every other partition carries over BY
+        REFERENCE (no data movement — copy-on-write touches only what
+        changed). Commits a NEW snapshot through the same CAS protocol.
+
+        Safety contract (the reason to trust it at 100 TB): a rewrite
+        only commits if the rewritten partition's (row_count, checksum)
+        EXACTLY equal the source entry's — the checksum is the
+        order-insensitive xxhash64 row sum, so any row lost, duplicated
+        or mutated by the rewrite aborts before the snapshot exists.
+        Because per-partition checksums are preserved, the compacted
+        snapshot's content_hash equals the source's: downstream lineage
+        citing the content hash keeps resuming across compactions.
+
+        Idempotent + crash-safe: rewrites WAL under the compaction's
+        own stage key (resume skips verified rewrites); if NO partition
+        exceeds the target the source snapshot is returned unchanged
+        (no empty commit)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot for table {self.dir}")
+        need = [
+            e for e in snap["partitions"]
+            if len(e["files"]) > max_files_per_partition
+        ]
+        if not need:
+            return snap
+        stage_key = f"compact-{snap['snapshot_id']}"
+        lin = {
+            "inputs": [f"snapshot:{snap['snapshot_id']}"],
+            "params": {"max_files": max_files_per_partition},
+            "code_version": "compact-v1",
+        }
+        wal = {
+            p: e
+            for p, e in self.wal_entries(stage_key).items()
+            if e.get("lineage") == lin
+        }
+        stage_data = os.path.join(self.data_dir, stage_key)
+        os.makedirs(stage_data, exist_ok=True)
+        done: dict[str, dict] = {}
+        rewritten = 0
+        for e in snap["partitions"]:
+            part = str(e["part"])
+            if len(e["files"]) <= max_files_per_partition:
+                done[part] = e  # carried by reference
+                continue
+            if part in wal:
+                done[part] = wal[part]  # crash-resume
+                continue
+            src = spark.read.parquet(*e["files"])
+            tmp = os.path.join(self.dir, f"_tmp-compact-{uuid.uuid4().hex[:8]}")
+            src.coalesce(max_files_per_partition).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            back = spark.read.parquet(tmp)
+            row = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(F.to_json(F.struct(*back.columns))).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("checksum"),
+            ).collect()[0]
+            if (int(row["n"]), str(row["checksum"])) != (
+                int(e["row_count"]), str(e["checksum"])
+            ):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"compaction of partition {part!r} changed content "
+                    f"(rows {e['row_count']}→{row['n']}) — aborted before "
+                    "commit"
+                )
+            dst = os.path.join(stage_data, f"_part={_wal_name(part)}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            # drop Spark job markers so the file list is pure parquet
+            for f in os.listdir(tmp):
+                if not f.endswith(".parquet"):
+                    os.remove(os.path.join(tmp, f))
+            os.replace(tmp, dst)
+            files = sorted(
+                os.path.join(dst, f)
+                for f in os.listdir(dst)
+                if f.endswith(".parquet")
+            )
+            entry = {
+                "part": part,
+                "path": dst,
+                "files": files,
+                "row_count": e["row_count"],
+                "checksum": e["checksum"],
+                "lineage": lin,
+                "committed_at": time.time(),
+            }
+            _atomic_write_json(
+                os.path.join(self._wal_dir(stage_key), f"{_wal_name(part)}.json"),
+                entry,
+            )
+            done[part] = entry
+            rewritten += 1
+        return self._commit_snapshot(
+            stage_key,
+            snap["partition_col"],
+            done,
+            skipped=len(done) - rewritten,
+            pending_n=rewritten,
+        )

@@ -233,3 +233,64 @@ def test_partition_value_canonicalization(spark, tmp_path):
     assert s2["computed_partitions"] == 0
     assert s2["skipped_partitions"] == 3
     assert s2["content_hash"] == s1["content_hash"]
+
+
+def test_compaction_binpacks_and_preserves_content(spark, docs, tmp_path):
+    """S9: multi-file partitions rewrite to 1 file each, untouched
+    partitions carry over by reference, content/checksums (and thus
+    the snapshot content_hash) are preserved, the compacted snapshot
+    reads identically, and re-compaction is a no-op."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    # force many small files per partition
+    snap1 = tbl.write_stage(
+        spark, docs.repartition(6), "part_id", "ingest", {"inputs": ["gen"]}
+    )
+    multi = [e for e in snap1["partitions"] if len(e["files"]) > 1]
+    assert multi, "fixture failed to produce multi-file partitions"
+    orig = {r.doc_id: r.spans for r in tbl.read(spark).collect()}
+
+    snap2 = tbl.compact(spark, max_files_per_partition=1)
+    assert snap2["snapshot_id"] == snap1["snapshot_id"] + 1
+    assert snap2["content_hash"] == snap1["content_hash"]
+    by_part = {e["part"]: e for e in snap2["partitions"]}
+    for e in snap1["partitions"]:
+        ne = by_part[e["part"]]
+        if len(e["files"]) > 1:
+            assert len(ne["files"]) == 1
+            assert ne["path"] != e["path"]
+        else:
+            assert ne is e or ne == e  # carried by reference
+        assert ne["checksum"] == e["checksum"]
+        assert ne["row_count"] == e["row_count"]
+    assert all(tbl.verify_snapshot().values())
+    got = {r.doc_id: r.spans for r in tbl.read(spark).collect()}
+    assert got == orig
+    # pinned old snapshot still readable (time travel across compaction)
+    assert tbl.read(spark, snap1["snapshot_id"]).count() == len(orig)
+    # already-compacted -> returns the SAME snapshot, no empty commit
+    snap3 = tbl.compact(spark, max_files_per_partition=1)
+    assert snap3["snapshot_id"] == snap2["snapshot_id"]
+
+
+def test_compaction_crash_resume(spark, docs, tmp_path):
+    """A compaction killed mid-way resumes from its WAL without
+    rewriting finished partitions."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    tbl.write_stage(spark, docs.repartition(6), "part_id", "ingest")
+    snap1 = tbl.snapshot()
+    # simulate a crash: run compact, then delete the snapshot it made
+    # but KEEP its WAL + data (the state after dying pre-commit)
+    snap2 = tbl.compact(spark)
+    os.remove(
+        os.path.join(tbl.manifest_dir, f"snapshot-{snap2['snapshot_id']}.json")
+    )
+    ptr = os.path.join(tbl.manifest_dir, "LATEST")
+    with open(ptr, "w") as f:
+        f.write(str(snap1["snapshot_id"]))
+    before = file_state(str(tmp_path))
+    snap3 = tbl.compact(spark)
+    after = file_state(str(tmp_path))
+    assert before == after  # every rewrite resumed from WAL, zero recompute
+    assert snap3["content_hash"] == snap1["content_hash"]
+    assert snap3["computed_partitions"] == 0
+    assert all(tbl.verify_snapshot().values())
