@@ -418,6 +418,8 @@ def focal_percentile(
     values contract as majority/richness: per-class chord sums are the
     sufficient statistic, so the kernel is exact with zero sorting and
     the cost is O(distinct values) sliding sums."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
     classes, counts, total = _class_counts(class_arr, r, shape)
     if len(classes) == 0:
         return np.full(class_arr.shape, np.nan)

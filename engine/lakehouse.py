@@ -66,6 +66,16 @@ def parquet_row_count(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _row_checksum_agg(cols: list[str]):
+    """THE table checksum (one definition — write_stage and compact
+    must agree or compact's safety proof compares different
+    functions): order-insensitive exact sum of per-row xxhash64 over
+    the given column order."""
+    return F.sum(
+        F.xxhash64(F.to_json(F.struct(*cols))).cast("decimal(38,0)")
+    )
+
+
 class LakeTable:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -133,6 +143,41 @@ class LakeTable:
         d = os.path.join(self.manifest_dir, "wal", stage_key)
         os.makedirs(d, exist_ok=True)
         return d
+
+    def _write_wal_entry(
+        self,
+        stage_key: str,
+        part: str,
+        path: str | None,
+        row_count: int,
+        checksum: str,
+        lin: dict,
+    ) -> dict:
+        """Build + atomically persist one partition WAL entry (the ONE
+        canonical filename scheme — see write_stage)."""
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if path
+            else []
+        )
+        entry = {
+            "part": part,
+            "path": path,
+            "files": files,
+            "row_count": row_count,
+            "checksum": str(checksum),
+            "lineage": lin,
+            "committed_at": time.time(),
+        }
+        _atomic_write_json(
+            os.path.join(self._wal_dir(stage_key), f"{_wal_name(part)}.json"),
+            entry,
+        )
+        return entry
 
     def wal_entries(self, stage_key: str, verify: bool = True) -> dict[str, dict]:
         """Committed-partition WAL, dropping entries whose data files no
@@ -254,11 +299,7 @@ class LakeTable:
                 back.groupBy(F.col(partition_col).cast("string").alias("_part"))
                 .agg(
                     F.count(F.lit(1)).alias("row_count"),
-                    F.sum(
-                        F.xxhash64(F.to_json(F.struct(*df.columns))).cast(
-                            "decimal(38,0)"
-                        )
-                    ).alias("checksum"),
+                    _row_checksum_agg(df.columns).alias("checksum"),
                 )
                 .collect()
             )
@@ -272,33 +313,15 @@ class LakeTable:
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 os.replace(src, dst)
-                files = sorted(
-                    os.path.join(dst, f)
-                    for f in os.listdir(dst)
-                    if f.endswith(".parquet")
-                )
-                entry = {
-                    "part": part,
-                    "path": dst,
-                    "files": files,
-                    "row_count": stats[part]["row_count"],
-                    "checksum": stats[part]["checksum"],
-                    "lineage": lin,
-                    "committed_at": time.time(),
-                }
                 # ONE canonical WAL filename scheme (urllib quote) for
                 # data AND zero-row entries — Spark's path escaping
                 # differs (e.g. leaves spaces), and two spellings of
                 # the same part would race nondeterministically in
                 # wal_entries(); matching keys use entry["part"]
-                _atomic_write_json(
-                    os.path.join(
-                        self._wal_dir(stage_key),
-                        f"{_wal_name(part)}.json",
-                    ),
-                    entry,
+                done[part] = self._write_wal_entry(
+                    stage_key, part, dst,
+                    stats[part]["row_count"], stats[part]["checksum"], lin,
                 )
-                done[part] = entry
         shutil.rmtree(tmp, ignore_errors=True)
         if expected is not None:
             extra = sorted(set(pending) - set(expected))
@@ -309,23 +332,9 @@ class LakeTable:
                 )
             for part in expected:
                 if part not in done:
-                    entry = {
-                        "part": part,
-                        "path": None,
-                        "files": [],
-                        "row_count": 0,
-                        "checksum": "0",
-                        "lineage": lin,
-                        "committed_at": time.time(),
-                    }
-                    _atomic_write_json(
-                        os.path.join(
-                            self._wal_dir(stage_key),
-                            f"{_wal_name(part)}.json",
-                        ),
-                        entry,
+                    done[part] = self._write_wal_entry(
+                        stage_key, part, None, 0, "0", lin
                     )
-                    done[part] = entry
         return self._commit_snapshot(
             stage_key, partition_col, done, skipped, pending_n=len(pending)
         )
@@ -435,19 +444,31 @@ class LakeTable:
         citing the content hash keeps resuming across compactions.
 
         Idempotent + crash-safe: rewrites WAL under the compaction's
-        own stage key (resume skips verified rewrites); if NO partition
-        exceeds the target the source snapshot is returned unchanged
-        (no empty commit)."""
+        own stage key (which includes the max_files target, so two
+        compactions of the same source at different targets can never
+        clobber each other's committed files); resume skips verified
+        rewrites; if NO partition exceeds the target the source
+        snapshot is returned unchanged (no empty commit).
+
+        Head-currency rule: compaction is a semantic no-op, so it only
+        commits while its SOURCE is still the table head — if another
+        writer advanced LATEST mid-compaction, committing would regress
+        readers to pre-write content, so it raises instead (re-run
+        against the new head; the WAL makes the retry cheap). The check
+        happens immediately before commit; like Iceberg's
+        rewrite_data_files without commit-time validators it narrows
+        the race to the commit call itself rather than eliminating it
+        (documented limit)."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"no snapshot for table {self.dir}")
-        need = [
-            e for e in snap["partitions"]
+        need = {
+            str(e["part"]) for e in snap["partitions"]
             if len(e["files"]) > max_files_per_partition
-        ]
+        }
         if not need:
             return snap
-        stage_key = f"compact-{snap['snapshot_id']}"
+        stage_key = f"compact-{snap['snapshot_id']}-mf{max_files_per_partition}"
         lin = {
             "inputs": [f"snapshot:{snap['snapshot_id']}"],
             "params": {"max_files": max_files_per_partition},
@@ -460,71 +481,86 @@ class LakeTable:
         }
         stage_data = os.path.join(self.data_dir, stage_key)
         os.makedirs(stage_data, exist_ok=True)
-        done: dict[str, dict] = {}
-        rewritten = 0
-        for e in snap["partitions"]:
-            part = str(e["part"])
-            if len(e["files"]) <= max_files_per_partition:
-                done[part] = e  # carried by reference
-                continue
-            if part in wal:
-                done[part] = wal[part]  # crash-resume
-                continue
-            src = spark.read.parquet(*e["files"])
+        done: dict[str, dict] = {
+            str(e["part"]): e
+            for e in snap["partitions"]
+            if str(e["part"]) not in need  # carried by reference
+        }
+        for p in sorted(need & set(wal)):
+            done[p] = wal[p]  # crash-resume
+        pending = sorted(need - set(done))
+        src_by_part = {str(e["part"]): e for e in snap["partitions"]}
+        if pending:
+            # ONE Spark job rewrites every pending partition (the
+            # write_stage single-compute shape — not a job per
+            # partition): read all needy files with the data-root
+            # basePath so `_part` rides along, hash-repartition on it
+            # (each partition lands in exactly one task ⇒ ≤1 file each,
+            # which satisfies any max_files ≥ 1), partitionBy-write.
+            files = [f for p in pending for f in src_by_part[p]["files"]]
+            src = spark.read.option("basePath", self.data_dir).parquet(*files)
+            cols = [c for c in src.columns if c != "_part"]  # file order
             tmp = os.path.join(self.dir, f"_tmp-compact-{uuid.uuid4().hex[:8]}")
-            src.coalesce(max_files_per_partition).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            back = spark.read.parquet(tmp)
-            row = back.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64(F.to_json(F.struct(*back.columns))).cast(
-                        "decimal(38,0)"
-                    )
-                ).alias("checksum"),
-            ).collect()[0]
-            if (int(row["n"]), str(row["checksum"])) != (
-                int(e["row_count"]), str(e["checksum"])
-            ):
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise RuntimeError(
-                    f"compaction of partition {part!r} changed content "
-                    f"(rows {e['row_count']}→{row['n']}) — aborted before "
-                    "commit"
+            (
+                src.repartition(len(pending), "_part")
+                .write.mode("overwrite").partitionBy("_part").parquet(tmp)
+            )
+            back = spark.read.option("basePath", tmp).parquet(tmp)
+            # group by the DATA column (never the inferred `_part` dir
+            # value — directory type re-inference would turn '01' into
+            # 1 and skew keys, the r3 canonical-partition rule)
+            pcol = snap["partition_col"]
+            stats = {
+                r["_p"]: (int(r["n"]), str(r["checksum"]))
+                for r in back.groupBy(
+                    F.col(pcol).cast("string").alias("_p")
                 )
-            dst = os.path.join(stage_data, f"_part={_wal_name(part)}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            # drop Spark job markers so the file list is pure parquet
-            for f in os.listdir(tmp):
-                if not f.endswith(".parquet"):
-                    os.remove(os.path.join(tmp, f))
-            os.replace(tmp, dst)
-            files = sorted(
-                os.path.join(dst, f)
-                for f in os.listdir(dst)
-                if f.endswith(".parquet")
-            )
-            entry = {
-                "part": part,
-                "path": dst,
-                "files": files,
-                "row_count": e["row_count"],
-                "checksum": e["checksum"],
-                "lineage": lin,
-                "committed_at": time.time(),
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    _row_checksum_agg(cols).alias("checksum"),
+                )
+                .collect()
             }
-            _atomic_write_json(
-                os.path.join(self._wal_dir(stage_key), f"{_wal_name(part)}.json"),
-                entry,
+            for part in pending:
+                e = src_by_part[part]
+                got = stats.get(part)
+                if got != (int(e["row_count"]), str(e["checksum"])):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise RuntimeError(
+                        f"compaction of partition {part!r} changed content "
+                        f"({(e['row_count'], e['checksum'])} → {got}) — "
+                        "aborted before commit"
+                    )
+            from urllib.parse import unquote
+
+            for dname in sorted(
+                d for d in os.listdir(tmp)
+                if d.startswith("_part=") and os.path.isdir(os.path.join(tmp, d))
+            ):
+                part = unquote(dname.split("=", 1)[1])
+                dst = os.path.join(stage_data, f"_part={_wal_name(part)}")
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(tmp, dname), dst)
+                done[part] = self._write_wal_entry(
+                    stage_key, part, dst,
+                    src_by_part[part]["row_count"],
+                    src_by_part[part]["checksum"], lin,
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+        # head-currency: committing a compaction of a superseded base
+        # would silently drop the newer writer's data from the head
+        cur = self.latest_snapshot_id()
+        if cur != snap["snapshot_id"]:
+            raise RuntimeError(
+                f"table head moved during compaction (base "
+                f"{snap['snapshot_id']}, head {cur}) — re-run compact() "
+                "against the new head (rewrites resume from WAL)"
             )
-            done[part] = entry
-            rewritten += 1
         return self._commit_snapshot(
             stage_key,
             snap["partition_col"],
             done,
-            skipped=len(done) - rewritten,
-            pending_n=rewritten,
+            skipped=len(done) - len(pending),
+            pending_n=len(pending),
         )

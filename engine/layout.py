@@ -48,23 +48,30 @@ def write_clustered(
 
 
 def file_cell_spans(path: str, cell_col: str) -> dict[str, tuple[int, int]]:
-    """{file: (min, max)} of ``cell_col`` from parquet FOOTERS only."""
+    """{file: (min, max)} of ``cell_col`` from parquet FOOTERS only.
+
+    A file with ANY row group missing min/max statistics (stats
+    disabled, all-NULL chunk) gets the FULL int64 span — a pruner must
+    treat unknown as must-read; silently omitting such a file would
+    make prune-then-refine DROP its rows, the one failure a
+    conservative planner can never have."""
     import pyarrow.parquet as pq
 
+    full = (-(2**63), 2**63 - 1)
     out: dict[str, tuple[int, int]] = {}
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.names.index(cell_col)
         lo, hi = None, None
+        unknown = False
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                lo, hi = None, None
+                unknown = True
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            out[f] = (int(lo), int(hi))
+        out[f] = full if (unknown or lo is None) else (int(lo), int(hi))
     return out
 
 

@@ -159,16 +159,22 @@ def balanced_downsample(
     1-row min cross-joined lazily, and the tiny per-group threshold
     table broadcast back onto the stream — the filter itself is
     map-only column arithmetic, so the plan is flat at any scale."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    mn = counts.agg(F.min("_n").alias("_mn"))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_bd_n"))
+    mn = counts.agg(F.min("_bd_n").alias("_bd_mn"))
+    # threshold clamped to >= 1 bucket: a group > 10000x the smallest
+    # would otherwise floor to 0 and VANISH from the "balanced" output;
+    # the clamp keeps it at the bucket space's resolution floor
+    # (~min_n/10 at 10^5x skew) instead of silently empty
     thr = counts.crossJoin(F.broadcast(mn)).select(
         group_col,
-        F.col("_n"),
-        F.floor((F.col("_mn") * _BUCKETS) / F.col("_n"))
-        .cast("int").alias("_t"),
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("_bd_mn") * _BUCKETS) / F.col("_bd_n"))
+            .cast("int"),
+        ).alias("_bd_t"),
     )
     return (
         df.join(F.broadcast(thr), group_col)
-        .filter(bucket_col(F.col(key)) < F.col("_t"))
-        .drop("_n", "_t")
+        .filter(bucket_col(F.col(key)) < F.col("_bd_t"))
+        .drop("_bd_t")
     )

@@ -294,3 +294,16 @@ def test_compaction_crash_resume(spark, docs, tmp_path):
     assert snap3["content_hash"] == snap1["content_hash"]
     assert snap3["computed_partitions"] == 0
     assert all(tbl.verify_snapshot().values())
+
+
+def test_compaction_refuses_stale_base(spark, docs, tmp_path):
+    """Compacting a snapshot that is no longer the head must raise —
+    committing it would regress readers to pre-write content."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    snap1 = tbl.write_stage(spark, docs.repartition(6), "part_id", "ingest")
+    # head advances (different lineage -> recompute, new snapshot)
+    tbl.write_stage(
+        spark, docs.repartition(6), "part_id", "ingest2", {"inputs": ["x"]}
+    )
+    with pytest.raises(RuntimeError, match="head moved"):
+        tbl.compact(spark, snapshot_id=snap1["snapshot_id"])

@@ -10,6 +10,9 @@ from engine import grid, layout, shim, udfs
 
 
 def _docs_with_cells(spark, level=9):
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     pts = docs.select(
         "doc_id",
