@@ -50,3 +50,26 @@ def test_neardup_clusters_chain_and_forest(spark):
     assert {rows[d].cluster_id for d in ("t1", "t2", "t3")} == {"t1"}
     assert rows["t1"].cluster_size == 3 and rows["t1"].keep == 1
     assert rows["z8"].cluster_id == "z8" and rows["z9"].cluster_size == 2
+
+
+def test_q39_plan_broadcasts_benchmark_grams(spark):
+    """D23's scale contract is its physical shape: the bounded
+    benchmark gram set must BROADCAST (train windows never shuffle for
+    the semi-join). Locks the plan, not just the values."""
+    from engine.text_queries import q39_decontamination
+
+    df = q39_decontamination(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    # the gram-key join must NOT appear as a sort-merge join
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_q43_plan_broadcasts_thresholds(spark):
+    """D27's per-group threshold table is tiny and must broadcast; the
+    corpus-side filter stays map-only."""
+    from engine.queries import q43_balanced_mixture
+
+    df = q43_balanced_mixture(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
