@@ -1989,6 +1989,72 @@ FROM per GROUP BY 1
 """
 
 
+def sq_hull(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed convex hull (vector.convex_hull_agg) of each
+    nation's customer positions: map-side partial monotone chains
+    reduce every partition to its extreme candidates, ONE candidate
+    shuffle, final chain per group. Output = vertex count +
+    micro-quantized coordinate sums (order-free exact integers); the
+    oracle derives the identical vertex SET by the extreme-point test
+    (a point is a hull vertex iff it lies strictly outside every
+    non-degenerate triangle of other points — exact on the fixture's
+    generic-position hash coordinates)."""
+    from engine import vector
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    pts = c.select(
+        F.col("c_nationkey").cast("string").alias("g"),
+        shim.shim_lon_col(F.col("c_custkey")).alias("x"),
+        shim.shim_lat_col(F.col("c_custkey")).alias("y"),
+    )
+    return vector.convex_hull_agg(pts, "g", "x", "y")
+
+
+_HULL_X = shim.SHIM_LON_SQL.replace("doc_id", "c_custkey")
+_HULL_Y = shim.SHIM_LAT_SQL.replace("doc_id", "c_custkey")
+
+SQ_HULL_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS g,
+         {_HULL_X} AS x, {_HULL_Y} AS y
+  FROM customer
+),
+tri AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_,
+         c.x AS cx, c.y AS cy
+  FROM p a
+  JOIN p b ON b.g = a.g AND (a.x, a.y) < (b.x, b.y)
+  JOIN p c ON c.g = a.g AND (b.x, b.y) < (c.x, c.y)
+  WHERE (bx - a.x) * (cy - a.y) - (by_ - a.y) * (cx - a.x) <> 0
+),
+nonext AS (
+  SELECT DISTINCT q.g, q.x, q.y
+  FROM p q JOIN tri t ON t.g = q.g
+  WHERE NOT (q.x = t.ax AND q.y = t.ay)
+    AND NOT (q.x = t.bx AND q.y = t.by_)
+    AND NOT (q.x = t.cx AND q.y = t.cy)
+    AND (
+      SELECT NOT (
+        ((t.bx - t.ax) * (q.y - t.ay) - (t.by_ - t.ay) * (q.x - t.ax) > 0
+         OR (t.cx - t.bx) * (q.y - t.by_) - (t.cy - t.by_) * (q.x - t.bx) > 0
+         OR (t.ax - t.cx) * (q.y - t.cy) - (t.ay - t.cy) * (q.x - t.cx) > 0)
+        AND
+        ((t.bx - t.ax) * (q.y - t.ay) - (t.by_ - t.ay) * (q.x - t.ax) < 0
+         OR (t.cx - t.bx) * (q.y - t.by_) - (t.cy - t.by_) * (q.x - t.bx) < 0
+         OR (t.ax - t.cx) * (q.y - t.cy) - (t.ay - t.cy) * (q.x - t.cx) < 0)
+      )
+    )
+),
+hull AS (SELECT g, x, y FROM p EXCEPT SELECT g, x, y FROM nonext)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n_hull,
+       CAST(SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS BIGINT) AS qx_sum,
+       CAST(SUM(CAST(ROUND(y * 1e6) AS BIGINT)) AS BIGINT) AS qy_sum
+FROM hull GROUP BY g
+"""
+
+
 _PCT_QS = (0.25, 0.5, 0.9)
 
 
@@ -2922,6 +2988,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_flowlen": (sq_flowlen, SQ_FLOWLEN_SQL),
     "sq_zonal_geom": (sq_zonal_geom, SQ_ZONAL_GEOM_SQL),
     "sq_zonal_pct": (sq_zonal_pct, SQ_ZONAL_PCT_SQL),
+    "sq_hull": (sq_hull, SQ_HULL_SQL),
     "sq_idw": (sq_idw, SQ_IDW_SQL),
     "sq_vector_ops": (sq_vector_ops, _vector_ops_sql()),
     "sq_compact_cells": (sq_compact_cells, SQ_COMPACT_SQL),

@@ -462,3 +462,95 @@ def polygon_measures(polys: DataFrame, holes_col: str | None = None) -> DataFram
             6,
         ).alias("c_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V8 (round 4): distributed convex hull — associative geometric
+# aggregation. The hull of a union is the hull of the hulls, so the
+# op is a textbook two-phase aggregate: per-PARTITION monotone-chain
+# partial hulls (map-side, each partition's millions of points reduce
+# to its <=hull-size extreme candidates), ONE shuffle of candidates on
+# the group key, monotone chain again at the reduce. Candidate volume
+# is O(partitions x hull size), never the data.
+#
+# Pinned semantics (mirrored by the q44 oracle's extreme-point test):
+# exact-duplicate points dedupe first; the hull vertex SET is the
+# strict-turn monotone chain (collinear boundary points are NOT
+# vertices); the result reports per group the vertex count and
+# micro-quantized coordinate sums (order-free exact integers — no
+# vertex ordering or area arithmetic crosses engines).
+# ---------------------------------------------------------------------------
+
+
+def _monotone_chain(pts: "np.ndarray") -> "np.ndarray":
+    """Strict-turn Andrew monotone chain over an (n, 2) float array;
+    returns the hull vertices (k, 2), k >= 1 (degenerate inputs give
+    their extreme endpoints)."""
+    pts = np.unique(pts, axis=0)  # sorts lexicographically, dedupes
+    if len(pts) <= 2:
+        return pts
+
+    def half(p):
+        out: list[np.ndarray] = []
+        for v in p:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (v[1] - o[1]) - (a[1] - o[1]) * (
+                    v[0] - o[0]
+                ) > 0:
+                    break
+                out.pop()
+            out.append(v)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull_agg(
+    pts: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """One row per group: (n_hull, qx_sum, qy_sum) of its convex hull
+    vertices (coords quantized to 1e-6 before exact integer sums)."""
+    cols = [group_col, x_col, y_col]
+
+    def partial(batches):
+        for pdf in batches:
+            out = []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                hull = _monotone_chain(
+                    sub[[x_col, y_col]].to_numpy(dtype=np.float64)
+                )
+                out.append(
+                    pd.DataFrame(
+                        {group_col: g, x_col: hull[:, 0], y_col: hull[:, 1]}
+                    )
+                )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(columns=cols)
+            )
+
+    schema = ", ".join(
+        f"{c} {'string' if c == group_col else 'double'}" for c in cols
+    )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _monotone_chain(pdf[[x_col, y_col]].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_hull": [len(hull)],
+                "qx_sum": [int(np.round(hull[:, 0] * 1e6).sum())],
+                "qy_sum": [int(np.round(hull[:, 1] * 1e6).sum())],
+            }
+        )
+
+    cand = pts.select(
+        F.col(group_col).cast("string").alias(group_col), x_col, y_col
+    ).mapInPandas(partial, schema)
+    return cand.groupBy(group_col).applyInPandas(
+        final, f"{group_col} string, n_hull long, qx_sum long, qy_sum long"
+    )

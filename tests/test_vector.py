@@ -231,3 +231,61 @@ def test_contour_plan_one_exchange(spark):
     c = vector.contour_segments(tiles, 16, 2.0, band="z")
     plan = c._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_convex_hull_strict_turn_rules():
+    """Pinned hull-vertex rule: collinear boundary points and exact
+    duplicates are NOT vertices; degenerate inputs keep extreme
+    endpoints."""
+    from engine.vector import _monotone_chain
+
+    sq = np.array([
+        [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0],
+        [1.0, 0.0],             # collinear on the bottom edge
+        [0.0, 0.0],             # duplicate corner
+        [1.0, 1.0],             # interior
+    ])
+    hull = _monotone_chain(sq)
+    assert sorted(map(tuple, hull)) == [
+        (0.0, 0.0), (0.0, 2.0), (2.0, 0.0), (2.0, 2.0)
+    ]
+    # degenerate: all points on one segment -> the two endpoints
+    seg = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.5, 0.5]])
+    assert sorted(map(tuple, _monotone_chain(seg))) == [
+        (0.0, 0.0), (2.0, 2.0)
+    ]
+    # single / duplicated point
+    assert _monotone_chain(np.array([[3.0, 4.0], [3.0, 4.0]])).tolist() == [
+        [3.0, 4.0]
+    ]
+
+
+def test_convex_hull_agg_two_phase_matches_single(spark):
+    """The distributed two-phase hull (partition partials + final
+    chain) == one global chain, under a partitioning that splits every
+    group across many partitions."""
+    from engine import vector
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    rng = np.random.default_rng(11)
+    rows = [
+        (str(g), float(x), float(y))
+        for g in range(4)
+        for x, y in rng.normal(size=(200, 2)) * (g + 1)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double").repartition(16)
+    got = {
+        r.g: (r.n_hull, r.qx_sum, r.qy_sum)
+        for r in vector.convex_hull_agg(df, "g", "x", "y").collect()
+    }
+    for g in range(4):
+        pts = np.array([(x, y) for gg, x, y in rows if gg == str(g)])
+        hull = vector._monotone_chain(pts)
+        want = (
+            len(hull),
+            int(np.round(hull[:, 0] * 1e6).sum()),
+            int(np.round(hull[:, 1] * 1e6).sum()),
+        )
+        assert got[str(g)] == want, g
+        assert 3 <= len(hull) < 25  # real reduction happened
