@@ -1585,3 +1585,125 @@ GROUP BY 1, 2, 3
 """
 
 TEXT_QUERIES["q42_source_overlap"] = (q42_source_overlap, Q42_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q44: staged funnel analysis (the product-analytics sequence op, D28):
+# per user the earliest view, the earliest click strictly after it, the
+# earliest purchase strictly after that — stages 2/3 must land within 7
+# days of the view. Distributed shape: three chained conditional-min
+# projections over ONE user-partitioned window (same partitioning ⇒ one
+# shuffle + one sort, reused by all three), then a single rollup. All
+# comparisons in exact epoch-µs integers.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q44_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per funnel stage: users reached + conversion vs stage 1."""
+    e = _T(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id")
+    tv = e.withColumn(
+        "tv", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    tc = tv.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("tv")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    tp = tc.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("tc")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = tp.groupBy("user_id").agg(
+        F.min("tv").alias("tv"), F.min("tc").alias("tc"),
+        F.min("tp").alias("tp"),
+    )
+    lim = F.col("tv") + _FUNNEL_WINDOW_US
+    flags = per_user.select(
+        F.col("tv").isNotNull().cast("long").alias("s1"),
+        (F.col("tc").isNotNull() & (F.col("tc") <= lim))
+        .cast("long").alias("s2"),
+        (
+            F.col("tp").isNotNull() & (F.col("tp") <= lim)
+            & F.col("tc").isNotNull() & (F.col("tc") <= lim)
+        ).cast("long").alias("s3"),
+    ).agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"),
+        F.sum("s3").alias("n3"),
+    )
+    stages = [
+        ("1_view", F.col("n1")),
+        ("2_click_after_view", F.col("n2")),
+        ("3_purchase_after_click", F.col("n3")),
+    ]
+    out = None
+    for name, col in stages:
+        s = flags.select(
+            F.lit(name).alias("stage"),
+            col.cast("long").alias("users"),
+            F.round(col / F.col("n1").cast("double"), 6).alias("conv_vs_view"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+Q44_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+tv AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS tv
+       FROM e GROUP BY 1),
+tc AS (
+  SELECT e.user_id, MIN(e.us) AS tc
+  FROM e JOIN tv ON tv.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > tv.tv
+  GROUP BY 1
+),
+tp AS (
+  SELECT e.user_id, MIN(e.us) AS tp
+  FROM e JOIN tc ON tc.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > tc.tc
+  GROUP BY 1
+),
+f AS (
+  SELECT v.user_id, v.tv, c.tc, p.tp
+  FROM tv v LEFT JOIN tc c ON c.user_id = v.user_id
+  LEFT JOIN tp p ON p.user_id = v.user_id
+),
+n AS (
+  SELECT
+    SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN tc IS NOT NULL AND tc <= tv + {_FUNNEL_WINDOW_US}
+             THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN tp IS NOT NULL AND tp <= tv + {_FUNNEL_WINDOW_US}
+             AND tc IS NOT NULL AND tc <= tv + {_FUNNEL_WINDOW_US}
+             THEN 1 ELSE 0 END) AS n3
+  FROM f
+)
+SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS users,
+       ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS conv_vs_view FROM n
+UNION ALL
+SELECT '2_click_after_view', CAST(n2 AS BIGINT),
+       ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+UNION ALL
+SELECT '3_purchase_after_click', CAST(n3 AS BIGINT),
+       ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+"""
+
+TEXT_QUERIES["q44_event_funnel"] = (q44_event_funnel, Q44_SQL)
