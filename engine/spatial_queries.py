@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine import shim
@@ -1989,6 +1989,9 @@ FROM per GROUP BY 1
 """
 
 
+_HULL_N = 40  # pinned per-nation point budget (constant oracle cost)
+
+
 def sq_hull(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed convex hull (vector.convex_hull_agg) of each
     nation's customer positions: map-side partial monotone chains
@@ -1998,13 +2001,26 @@ def sq_hull(spark: SparkSession, sf: str) -> DataFrame:
     oracle derives the identical vertex SET by the extreme-point test
     (a point is a hull vertex iff it lies strictly outside every
     non-degenerate triangle of other points — exact on the fixture's
-    generic-position hash coordinates)."""
-    from engine import vector
+    generic-position hash coordinates).
+
+    The input is pinned to EXACTLY the first 40 customers per nation
+    in deterministic (hash bucket, key) order — the q35 machinery — so
+    the O(n⁴) triangle-enumeration ORACLE has constant cost at every
+    scale factor instead of a cliff at sf0.1 (the engine itself has no
+    such bound; the distributed-scale evidence is the two-phase ==
+    global golden)."""
+    from engine import sampling, vector
     from engine.deploy import ensure_shipped
 
     ensure_shipped(spark)
     c = spark.read.parquet(f"{sf}/customer.parquet")
-    pts = c.select(
+    w = Window.partitionBy("c_nationkey").orderBy(
+        sampling.bucket_col(F.col("c_custkey")), F.col("c_custkey")
+    )
+    c40 = c.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= _HULL_N
+    )
+    pts = c40.select(
         F.col("c_nationkey").cast("string").alias("g"),
         shim.shim_lon_col(F.col("c_custkey")).alias("x"),
         shim.shim_lat_col(F.col("c_custkey")).alias("y"),
@@ -2015,11 +2031,28 @@ def sq_hull(spark: SparkSession, sf: str) -> DataFrame:
 _HULL_X = shim.SHIM_LON_SQL.replace("doc_id", "c_custkey")
 _HULL_Y = shim.SHIM_LAT_SQL.replace("doc_id", "c_custkey")
 
+
+def _hull_bucket_sql() -> str:
+    from engine import sampling
+
+    return sampling.bucket_sql("c_custkey")
+
+
 SQ_HULL_SQL = f"""
-WITH p AS (
+WITH c40 AS (
+  SELECT c_nationkey, c_custkey FROM (
+    SELECT c_nationkey, c_custkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_nationkey
+             ORDER BY {_hull_bucket_sql()}, c_custkey
+           ) AS rk
+    FROM customer
+  ) WHERE rk <= {_HULL_N}
+),
+p AS (
   SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS g,
          {_HULL_X} AS x, {_HULL_Y} AS y
-  FROM customer
+  FROM c40
 ),
 tri AS (
   SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_,

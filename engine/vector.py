@@ -516,35 +516,43 @@ def convex_hull_agg(
     cols = [group_col, x_col, y_col]
 
     def partial(batches):
+        # fold candidates ACROSS Arrow batches so each partition ships
+        # exactly one ≤hull-size candidate set per group (per-batch
+        # emission would multiply the shuffle by the batch count)
+        cand: dict = {}
         for pdf in batches:
-            out = []
             for g, sub in pdf.groupby(group_col, sort=False):
-                hull = _monotone_chain(
-                    sub[[x_col, y_col]].to_numpy(dtype=np.float64)
-                )
-                out.append(
-                    pd.DataFrame(
-                        {group_col: g, x_col: hull[:, 0], y_col: hull[:, 1]}
-                    )
-                )
-            yield (
-                pd.concat(out, ignore_index=True)
-                if out
-                else pd.DataFrame(columns=cols)
-            )
+                pts_b = sub[[x_col, y_col]].to_numpy(dtype=np.float64)
+                prev = cand.get(g)
+                if prev is not None:
+                    pts_b = np.concatenate([prev, pts_b])
+                cand[g] = _monotone_chain(pts_b)
+        out = [
+            pd.DataFrame({group_col: g, x_col: h[:, 0], y_col: h[:, 1]})
+            for g, h in cand.items()
+        ]
+        yield (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(columns=cols)
+        )
 
     schema = ", ".join(
         f"{c} {'string' if c == group_col else 'double'}" for c in cols
     )
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from engine.overlay import _round_half_away
+
         hull = _monotone_chain(pdf[[x_col, y_col]].to_numpy(dtype=np.float64))
+        # half-AWAY rounding (SQL ROUND semantics) — np.round is
+        # banker's and diverges from the oracle exactly on .5 µ-units
         return pd.DataFrame(
             {
                 group_col: [key[0]],
                 "n_hull": [len(hull)],
-                "qx_sum": [int(np.round(hull[:, 0] * 1e6).sum())],
-                "qy_sum": [int(np.round(hull[:, 1] * 1e6).sum())],
+                "qx_sum": [int(_round_half_away(hull[:, 0] * 1e6).sum())],
+                "qy_sum": [int(_round_half_away(hull[:, 1] * 1e6).sum())],
             }
         )
 

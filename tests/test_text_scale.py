@@ -61,8 +61,9 @@ def test_q39_plan_broadcasts_benchmark_grams(spark):
     df = q39_decontamination(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastHashJoin" in plan
-    # the gram-key join must NOT appear as a sort-merge join
-    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+    # NO join in this query may regress to sort-merge — the gram
+    # semi-join is the scale-critical one and must stay broadcast
+    assert "SortMergeJoin" not in plan
 
 
 def test_q43_plan_broadcasts_thresholds(spark):
