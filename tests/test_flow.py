@@ -564,3 +564,50 @@ def test_flow_length_long_chain_plan_shape(spark):
     np.testing.assert_allclose(got_c, want_c, equal_nan=True)
     assert want_d.max() == 0 and want_c.max() == 511
     assert 1 <= stats["rounds"] <= 9, stats
+
+
+def brute_flow_length_wrap(dirs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Wrap-aware (modular x) downstream step counts."""
+    H, W = dirs.shape
+    off = {c: (dj, di) for c, dj, di, _ in flow.D8_OFFSETS}
+    diag = {2, 8, 32, 128}
+    card = np.full((H, W), np.nan)
+    diagp = np.full((H, W), np.nan)
+    for j in range(H):
+        for i in range(W):
+            if not np.isfinite(dirs[j, i]):
+                continue
+            cj, ci, nc_, nd_ = j, i, 0, 0
+            while True:
+                code = int(dirs[cj, ci])
+                if code == 0:
+                    break
+                dj, di = off[code]
+                if code in diag:
+                    nd_ += 1
+                else:
+                    nc_ += 1
+                cj, ci = cj + dj, (ci + di) % W
+            card[j, i], diagp[j, i] = nc_, nd_
+    return card, diagp
+
+
+def test_flow_length_wrap(spark):
+    """wrap_nx: paths crossing the antimeridian seam accumulate their
+    step counts across it — lengths match the wrap-aware brute and
+    genuinely differ from the unwrapped world."""
+    arr = np.tile(np.arange(32, 0, -1, dtype=np.float64), (8, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 8, wrap_nx=4)
+    out = flow.flow_length(dir_tiles, 8, spark, wrap_nx=4)
+    got_c = _acc_from_tiles(out.filter(out.band == "flowlen_card"), 8, 8, 32)
+    got_d = _acc_from_tiles(out.filter(out.band == "flowlen_diag"), 8, 8, 32)
+    dirs_w = brute_d8_wrap(arr)
+    want_c, want_d = brute_flow_length_wrap(dirs_w)
+    np.testing.assert_allclose(got_c, want_c, equal_nan=True)
+    np.testing.assert_allclose(got_d, want_d, equal_nan=True)
+    nowrap_c, _ = brute_flow_length(flow.flow_direction_kernel(arr))
+    assert not np.allclose(want_c, nowrap_c, equal_nan=True)
