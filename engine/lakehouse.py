@@ -127,15 +127,41 @@ class LakeTable:
                 f"snapshot {snap['snapshot_id']} of {self.dir} has no data "
                 "files (every partition is zero-row)"
             )
-        # basePath = the data ROOT (an ancestor of every stage dir):
-        # a compacted snapshot mixes rewritten partitions under its own
-        # stage with carried-by-reference partitions under the source
-        # stage, and Spark requires one common basePath. Stage-level
-        # path segments are not key=value, so the only inferred
-        # directory column is `_part` (dropped below), exactly as with
-        # the old per-stage basePath.
-        df = spark.read.option("basePath", self.data_dir).parquet(*dirs)
-        return df.drop("_part") if "_part" in df.columns else df
+        # A compacted snapshot mixes rewritten partitions under its own
+        # stage dir with carried-by-reference partitions under the
+        # source stage dir. Spark's partition discovery asserts ONE
+        # discovered base across all inputs (the dirs above the topmost
+        # key=value segment), so a single read spanning two stage dirs
+        # throws CONFLICTING_DIRECTORY_STRUCTURES no matter what
+        # basePath says (r5 fix — found by the numeric-string
+        # compaction regression test). Read per stage group and union:
+        # the partition column is a DATA column, so the union loses
+        # nothing and `_part` is dropped per group.
+        df = self._read_stage_grouped(spark, dirs)
+        return df
+
+    def _read_stage_grouped(self, spark: SparkSession, paths: list[str]):
+        """Read parquet paths (dirs or files) that may span multiple
+        stage directories: ONE read per stage group (consistent
+        discovered base within a group), basePath = the data root so
+        `_part` is the only inferred directory column, dropped before
+        the union. Group count = number of distinct stages in the
+        snapshot's lineage — O(commits), never O(partitions)."""
+        root = os.path.normpath(self.data_dir)
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            rel = os.path.relpath(os.path.normpath(p), root)
+            stage = rel.split(os.sep, 1)[0]
+            groups.setdefault(stage, []).append(p)
+        out = None
+        for stage in sorted(groups):
+            df = spark.read.option("basePath", self.data_dir).parquet(
+                *groups[stage]
+            )
+            if "_part" in df.columns:
+                df = df.drop("_part")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     # -- WAL ----------------------------------------------------------------
 
@@ -346,8 +372,22 @@ class LakeTable:
         done: dict[str, dict],
         skipped: int,
         pending_n: int,
+        expected_parent: int | None = None,
     ) -> dict:
+        """``expected_parent``: commit-time validator for semantic
+        no-op commits (compaction). A compaction's content must replace
+        exactly the snapshot it rewrote — if a concurrent writer lands
+        first, adopting the winner as parent would regress LATEST to
+        pre-write content, so the CAS loop raises instead of bumping
+        sid past the interloper (r4 ADVICE fix: the pre-commit
+        head-currency check alone left this race open)."""
         parent = self.latest_snapshot_id()
+        if expected_parent is not None and parent != expected_parent:
+            raise RuntimeError(
+                f"table head moved before commit (expected parent "
+                f"{expected_parent}, head {parent}) — re-run against "
+                "the new head (rewrites resume from WAL)"
+            )
         sid = (parent or 0) + 1
         # content-stable identity: equal data (per-partition checksums)
         # → equal hash across reruns, regardless of snapshot ids —
@@ -382,6 +422,12 @@ class LakeTable:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                if expected_parent is not None:
+                    raise RuntimeError(
+                        f"concurrent commit won snapshot id {sid} while "
+                        f"compacting snapshot {expected_parent} — "
+                        "re-run compact() against the new head"
+                    ) from None
                 parent = sid  # the competing writer's commit
                 sid += 1
                 continue
@@ -498,8 +544,21 @@ class LakeTable:
             # (each partition lands in exactly one task ⇒ ≤1 file each,
             # which satisfies any max_files ≥ 1), partitionBy-write.
             files = [f for p in pending for f in src_by_part[p]["files"]]
-            src = spark.read.option("basePath", self.data_dir).parquet(*files)
+            # stage-grouped read: a mixed (already-compacted) source
+            # snapshot's pending files can span stage dirs — one flat
+            # read would hit CONFLICTING_DIRECTORY_STRUCTURES (r5 fix)
+            src = self._read_stage_grouped(spark, files)
             cols = [c for c in src.columns if c != "_part"]  # file order
+            # REBUILD the canonical `_part` from the DATA column before
+            # the rewrite: the basePath read re-infers `_part` from
+            # directory names, so a numeric-looking string partition
+            # value ('01', '1e3', '1.10') would be re-typed and
+            # partitionBy would write the re-rendered dir ('_part=1'),
+            # KeyError-ing src_by_part AFTER files moved into
+            # stage_data — the exact hazard write_stage's canonical
+            # cast-to-string rule exists to prevent (r4 ADVICE fix).
+            pcol = snap["partition_col"]
+            src = src.withColumn("_part", F.col(pcol).cast("string"))
             tmp = os.path.join(self.dir, f"_tmp-compact-{uuid.uuid4().hex[:8]}")
             (
                 src.repartition(len(pending), "_part")
@@ -509,7 +568,6 @@ class LakeTable:
             # group by the DATA column (never the inferred `_part` dir
             # value — directory type re-inference would turn '01' into
             # 1 and skew keys, the r3 canonical-partition rule)
-            pcol = snap["partition_col"]
             stats = {
                 r["_p"]: (int(r["n"]), str(r["checksum"]))
                 for r in back.groupBy(
@@ -563,4 +621,5 @@ class LakeTable:
             done,
             skipped=len(done) - len(pending),
             pending_n=len(pending),
+            expected_parent=snap["snapshot_id"],
         )

@@ -883,7 +883,10 @@ def _q43_sql() -> str:
 WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
 mn AS (SELECT MIN(n) AS mn FROM cnt),
 thr AS (
-  SELECT lang, n, CAST(FLOOR(mn * 10000 / n) AS INT) AS t
+  -- GREATEST(1, ...) mirrors engine/sampling.balanced_downsample's
+  -- >=1-bucket clamp (sampling.py): a group more than 10000x the
+  -- smallest still keeps ~1/10000 of its rows, never zero (r4 ADVICE)
+  SELECT lang, n, CAST(GREATEST(1, FLOOR(mn * 10000 / n)) AS INT) AS t
   FROM cnt, mn
 ),
 kept AS (

@@ -2142,10 +2142,12 @@ cum AS (
          SUM(n) OVER (PARTITION BY zone) AS total
   FROM cnt
 ),
-qs(q) AS (VALUES {", ".join(f"({q})" for q in _PCT_QS)})
+qs(q, q_pm) AS (VALUES {
+    ", ".join(f"({q}, {int(round(q * 10000))})" for q in _PCT_QS)
+})
 SELECT CAST(c.zone AS BIGINT) AS zone, q.q AS q,
        CAST(MIN(c.v) AS BIGINT) AS pct_value
-FROM cum c JOIN qs q ON c.cum >= CEIL(q.q * c.total)
+FROM cum c JOIN qs q ON c.cum >= (q.q_pm * c.total + 9999) // 10000
 GROUP BY 1, 2
 """
 

@@ -337,7 +337,11 @@ def quantile_exact(
     """EXACT discrete quantiles of a band — the scale-correct
     alternative to percentile_approx: iterative histogram k-selection.
     Returns the element of rank ceil(q·n) (1-based, DuckDB
-    quantile_disc semantics) for each q.
+    quantile_disc semantics) for each q. Convention note: the rank is
+    FLOAT ceil (math.ceil(q*n) on IEEE doubles, e.g. 0.9·10 → rank 10
+    not 9) — pinned because the DuckDB quantile_disc oracle computes
+    the same float expression; zonal_percentile below uses exact
+    per-myriad integer ceil instead (its oracle mirrors that).
 
     Scale design: each round is ONE mapInPandas bincount pass over the
     data, SHARED by every still-pending quantile (the pass bins values
@@ -580,12 +584,19 @@ def zonal_percentile(
     )
     # one plan branch for ALL quantiles: cross the (tiny) pair table
     # with the q literals, filter once, pick min(v) per (zone, q) —
-    # the exact shape of the oracle's qs(q) VALUES join
+    # the exact shape of the oracle's qs(q) VALUES join. The rank is
+    # computed in EXACT integer arithmetic via q as per-myriad
+    # (rank = ceil(q_pm·n / 10000) = (q_pm·n + 9999) div 10000):
+    # float ceil(q·total) is off-by-one whenever q·n is mathematically
+    # integral but not representable (0.9·10 → 9.000000000000002 → 10)
+    # — r4 ADVICE fix; q itself stays a double output column.
     sess = tiles.sparkSession
-    qdf = sess.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = sess.createDataFrame(
+        [(float(q), int(round(q * 10000))) for q in qs], "q double, q_pm long"
+    )
     return (
         cum.crossJoin(F.broadcast(qdf))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .filter(F.col("cum") >= F.expr("(q_pm * total + 9999) div 10000"))
         .groupBy("zone", "q")
         .agg(F.min("v").alias("pct_value"))
         .select("zone", "q", "pct_value")

@@ -307,3 +307,71 @@ def test_compaction_refuses_stale_base(spark, docs, tmp_path):
     )
     with pytest.raises(RuntimeError, match="head moved"):
         tbl.compact(spark, snapshot_id=snap1["snapshot_id"])
+
+
+def test_compaction_canonicalizes_numeric_string_partitions(spark, tmp_path):
+    """r4 ADVICE regression: compacting a table whose STRING partition
+    values look numeric ('01', '1.10') must not let directory type
+    re-inference re-render the dirs ('_part=1') — the rewrite rebuilds
+    the canonical `_part` from the data column, so WAL keys, stats
+    lookups and the content hash all round-trip exactly."""
+    pdf = spark.createDataFrame(
+        [("01", float(i)) for i in range(8)]
+        + [("1.10", float(i)) for i in range(8)]
+        + [("plain", 99.0)],
+        "pkey string, v double",
+    )
+    tbl = LakeTable(str(tmp_path), "t")
+    snap1 = tbl.write_stage(spark, pdf.repartition(4), "pkey", "ingest")
+    multi = [e for e in snap1["partitions"] if len(e["files"]) > 1]
+    assert multi, "fixture failed to produce multi-file partitions"
+    snap2 = tbl.compact(spark, max_files_per_partition=1)
+    assert snap2["content_hash"] == snap1["content_hash"]
+    assert {e["part"] for e in snap2["partitions"]} == {"01", "1.10", "plain"}
+    for e in snap2["partitions"]:
+        assert len(e["files"]) == 1
+    got = {(r.pkey, r.v) for r in tbl.read(spark).collect()}
+    assert got == {(r.pkey, r.v) for r in pdf.collect()}
+
+
+def test_compaction_commit_refuses_concurrent_winner(spark, docs, tmp_path):
+    """r4 ADVICE: the head-currency rule must hold THROUGH the commit
+    CAS, not just before it — a snapshot that lands between compact()'s
+    pre-check and its commit makes the commit raise (never adopt the
+    winner as parent and regress LATEST to pre-write content)."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    snap1 = tbl.write_stage(spark, docs.repartition(6), "part_id", "ingest")
+    # simulate the interloper: a snapshot file for the NEXT id appears
+    # before compact()'s _commit_snapshot CAS runs — monkeypatch the
+    # pre-commit latest_snapshot_id to return the stale head once so
+    # the race window is exercised deterministically
+    import engine.lakehouse as lh
+
+    orig = lh.LakeTable._commit_snapshot
+
+    def racing_commit(self, *a, **kw):
+        # interloper commits first (same table, new data)
+        extra = spark.createDataFrame(
+            [(int(snap1["partitions"][0]["part"]), 123456789)],
+            "part_id int, doc_id long",
+        )
+        # direct snapshot-file injection: the cheapest concurrent win
+        sid = self.latest_snapshot_id() + 1
+        import json as _json
+        import os as _os
+        with open(
+            _os.path.join(self.manifest_dir, f"snapshot-{sid}.json"), "w"
+        ) as f:
+            _json.dump({"snapshot_id": sid, "parent_id": sid - 1,
+                        "partitions": [], "partition_col": "part_id",
+                        "stage_key": "interloper", "content_hash": "x",
+                        "total_rows": 0}, f)
+        _ = extra  # (data content irrelevant — the id collision is the race)
+        return orig(self, *a, **kw)
+
+    lh.LakeTable._commit_snapshot = racing_commit
+    try:
+        with pytest.raises(RuntimeError, match="re-run compact"):
+            tbl.compact(spark, max_files_per_partition=1)
+    finally:
+        lh.LakeTable._commit_snapshot = orig

@@ -332,8 +332,10 @@ def test_zonal_percentile_matches_bruteforce(spark):
     for z in np.unique(zones[ok].astype(np.int64)):
         vz = np.sort(vals[ok & (zones == z)].astype(np.int64))
         for q in qs:
-            # element at rank ceil(q*n), 1-indexed
-            want[(z, q)] = vz[int(np.ceil(q * len(vz))) - 1]
+            # element at rank ceil(q*n), 1-indexed — exact per-myriad
+            # integer ceil (never float: 0.9*10 floats to 9.0000...02)
+            rank = (round(q * 10000) * len(vz) + 9999) // 10000
+            want[(z, q)] = vz[rank - 1]
     assert got == want
     # sanity: multiple zones, and the quartile spread is real
     assert len({z for z, _ in want}) >= 3
