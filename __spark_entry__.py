@@ -64,25 +64,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _registry() -> dict[str, tuple]:
+    """Composed registry: every single-query implementation stays in
+    its module registry (SQL_QUERIES / TEXT_QUERIES / SPATIAL_QUERIES,
+    all individually pytest-covered), but family-aligned entries are
+    presented to the DRIVER as union suites (engine/suites.py) so the
+    full surface fits the driver's 50-entry correctness window — the
+    round-3 consolidation rule, made structural in round 5
+    (tests/test_contract.py pins len(queries()) <= 50)."""
     from engine.queries import SQL_QUERIES
     from engine.spatial_queries import SPATIAL_QUERIES
+    from engine.suites import MERGED_AWAY, build_suites
     from engine.text_queries import TEXT_QUERIES
 
-    out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
-    out.update({name: fn for name, (fn, _sql) in TEXT_QUERIES.items()})
-    out.update({name: fn for name, (fn, _sql) in SPATIAL_QUERIES.items()})
+    out: dict[str, tuple] = {}
+    for reg in (SQL_QUERIES, TEXT_QUERIES, SPATIAL_QUERIES):
+        out.update(
+            {name: v for name, v in reg.items() if name not in MERGED_AWAY}
+        )
+    out.update(build_suites())
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from engine.queries import SQL_QUERIES
-    from engine.spatial_queries import SPATIAL_QUERIES
-    from engine.text_queries import TEXT_QUERIES
-
-    out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
-    out.update({name: sql for name, (_fn, sql) in TEXT_QUERIES.items()})
-    out.update(
-        {name: sql for name, (_fn, sql) in SPATIAL_QUERIES.items() if sql is not None}
-    )
-    return out
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }
