@@ -258,21 +258,43 @@ def focal_weighted_mean(
     return out
 
 
+def annulus_chords(r: int, r_in: float) -> list[tuple[int, int, int]]:
+    """Ring footprint r_in < d <= r as per-row chord segments (a ring
+    row is either one full chord or two symmetric segments around the
+    excluded core) — lets the annulus ride the EXACT prefix-sum path
+    instead of FFT correlation."""
+    out: list[tuple[int, int, int]] = []
+    r2, rin2 = r * r, r_in * r_in
+    for dy in range(-r, r + 1):
+        rem = r2 - dy * dy
+        if rem < 0:
+            continue
+        hi = math.isqrt(rem)
+        if dy * dy > rin2:
+            out.append((dy, -hi, hi))  # whole row outside the core
+        else:
+            # smallest |dx| with dy² + dx² > r_in²
+            lo = math.isqrt(max(0, math.floor(rin2 - dy * dy))) + 1
+            if lo <= hi:
+                out.append((dy, -hi, -lo))
+                out.append((dy, lo, hi))
+    return out
+
+
 def focal_annulus_mean(arr: np.ndarray, r: int, r_in: float) -> np.ndarray:
     """Ring/doughnut mean (round 3 — the moving-window ecology kernel
     for excluding the focal neighborhood's core): mean of valid cells
-    with center distance r_in < d <= r. Same FFT-correlation path as
-    the weighted mean with a binary ring mask; all-invalid ring -> NaN."""
+    with center distance r_in < d <= r. EXACT chord prefix sums (round
+    5 — was FFT correlation: binary ring masks split into row chords,
+    so the sums are order-free integer-exact and the SQL oracle's
+    contribution join lands bit-identically); all-invalid ring -> NaN."""
     vals, valid = _valid_and_values(arr)
-    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
-    d = np.sqrt((dy * dy + dx * dx).astype(np.float64))
-    w = ((d > r_in) & (d <= r)).astype(np.float64)
-    num = _correlate_full(vals, w)
-    den = _correlate_full(valid, w)
+    chords = annulus_chords(r, r_in)
+    num = sliding_sum_chords(vals, chords)
+    den = sliding_sum_chords(valid.astype(np.float64), chords)
     with np.errstate(invalid="ignore", divide="ignore"):
         out = num / den
-    # FFT roundoff: a truly empty ring has den ~ 1e-13, a 1-cell ring >= 1
-    out[den <= 0.5] = np.nan
+    out[den == 0] = np.nan
     return out
 
 
@@ -469,16 +491,31 @@ def focal_edge_density(class_arr: np.ndarray, r: int, shape: Shape = "square") -
     return out
 
 
-def focal_interspersion(class_arr: np.ndarray, r: int, shape: Shape = "square") -> np.ndarray:
+def focal_interspersion(
+    class_arr: np.ndarray,
+    r: int,
+    shape: Shape = "square",
+    classes: np.ndarray | None = None,
+) -> np.ndarray:
     """W10 (IJI-style): evenness of the class-PAIR mix among *boundary*
     edges (different-class edges) in W:
         IJI = −Σ_{c<c'} q ln q / ln(n_pairs present in raster)
     where q = (count of (c,c') edges in W) / (all different-class edges
     in W). NaN where fewer than 2 boundary-edge types are possible or no
-    boundary edges in W."""
+    boundary edges in W.
+
+    ``classes``: the GLOBAL class domain. In a distributed focal plan
+    each worker sees only tile+halo — deriving the class set per block
+    would skew the ln(n_pairs) denominator on blocks missing a class,
+    so callers that tile the raster MUST pass the raster-wide classes
+    (the other class kernels are invariant to absent-class rows and
+    don't need it)."""
     H, W = class_arr.shape
     finite = np.isfinite(class_arr)
-    classes = np.unique(class_arr[finite])
+    if classes is None:
+        classes = np.unique(class_arr[finite])
+    else:
+        classes = np.asarray(sorted(classes), dtype=np.float64)
     ncl = len(classes)
     if ncl < 2:
         return np.full((H, W), np.nan)

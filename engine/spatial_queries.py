@@ -2998,6 +2998,305 @@ UNION ALL SELECT 'q', 75, n, ROUND(p75, 6) FROM s
 """
 
 
+_LS_R = 3  # landscape window radius (square), annulus r_in = 1.5
+
+
+def sq_landscape(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's FLAGSHIP landscape indicators (SURVEY §2.6
+    W5–W10 + W23 + W34) over the arithmetic Voronoi class raster, all
+    eight bands from ONE square r=3 halo exchange:
+
+      prop1     W5  fraction of valid window cells of class 1
+      rich      W6  distinct classes in window
+      shannon   W7  −Σ p ln p (natural log, 0·ln0 = 0)
+      majority  W8  modal class, tie → smallest class id
+      minority  W34 least-frequent PRESENT class, tie → smallest
+      edged     W9  boundary-edge fraction among edges fully inside W
+      iji       W10 IJI evenness of the boundary class-pair mix,
+                    normalized by ln C(4,2) (global class domain —
+                    passed explicitly so tile+halo blocks missing a
+                    class can't skew the denominator)
+      annulus   W23 ring mean, 1.5 < d ≤ 3 (exact chord sums)
+
+    Oracle: DuckDB regenerates the raster (cells CTE) and replays every
+    band as a window contribution join; per-cell micro-quantization
+    (×1e6 int64 sums) makes the tile checksums order-free and exact."""
+    import numpy as np
+
+    from engine import fixtures, kernels, tiling
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(
+            fixtures.raster_arith(size=64), 16, band="klass"
+        ),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    classes = np.arange(4, dtype=np.float64)
+    stats = {
+        "prop1": lambda a, r, s: kernels.focal_proportion(a, r, 1.0, s),
+        "rich": kernels.focal_richness,
+        "shannon": kernels.focal_shannon,
+        "majority": kernels.focal_majority,
+        "minority": kernels.focal_minority,
+        "edged": kernels.focal_edge_density,
+        "iji": lambda a, r, s: kernels.focal_interspersion(
+            a, r, s, classes=classes
+        ),
+        "annulus": lambda a, r, s: kernels.focal_annulus_mean(a, r, 1.5),
+    }
+    out = tiling.apply_focal(tiles, _LS_R, "square", stats, 16, level=10)
+    return _tile_summary_quantized(out)
+
+
+def _landscape_oracle_sql() -> str:
+    r = _LS_R
+
+    def finish(val_cte: str, band: str) -> str:
+        """Tile rollup of one per-center value CTE (ci, cj, val). Joined
+        against the full tile universe: a tile whose every center is
+        invalid for a band (e.g. no boundary edge within any window —
+        IJI over a Voronoi interior) still emits its n_valid=0 row,
+        exactly like the engine's dense tile output."""
+        return f"""
+SELECT CAST(t16.tx AS INT) AS tile_x, CAST(t16.ty AS INT) AS tile_y,
+       '{band}' AS band, CAST(COALESCE(a.nv, 0) AS BIGINT) AS n_valid,
+       COALESCE(a.ts, 0.0) AS tile_sum
+FROM tiles16 t16 LEFT JOIN (
+  SELECT ci // 16 AS tx, cj // 16 AS ty, COUNT(*) AS nv,
+         ROUND(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) / 1000000.0, 4)
+           AS ts
+  FROM {val_cte} GROUP BY 1, 2
+) a ON a.tx = t16.tx AND a.ty = t16.ty"""
+
+    return f"""
+WITH {_RASTER_ARITH_SQL},
+ctr AS (SELECT x.i AS ci, y.j AS cj FROM range(0, 64) x(i), range(0, 64) y(j)),
+tiles16 AS (SELECT x.tx AS tx, y.ty AS ty FROM range(0, 4) x(tx), range(0, 4) y(ty)),
+wcnt AS MATERIALIZED (
+  SELECT t.ci, t.cj, c.klass, COUNT(*) AS n
+  FROM ctr t JOIN cells c
+    ON c.i BETWEEN t.ci - {r} AND t.ci + {r}
+   AND c.j BETWEEN t.cj - {r} AND t.cj + {r}
+  GROUP BY 1, 2, 3
+),
+wtot AS MATERIALIZED (
+  SELECT ci, cj, CAST(SUM(n) AS DOUBLE) AS den FROM wcnt GROUP BY 1, 2
+),
+prop AS (
+  SELECT w.ci, w.cj, COALESCE(p.n, 0) / w.den AS val
+  FROM wtot w LEFT JOIN (SELECT ci, cj, n FROM wcnt WHERE klass = 1) p
+    ON p.ci = w.ci AND p.cj = w.cj
+),
+rich AS (
+  SELECT ci, cj, CAST(COUNT(*) AS DOUBLE) AS val FROM wcnt GROUP BY 1, 2
+),
+shan AS (
+  SELECT c.ci, c.cj,
+         -SUM((c.n / w.den) * LN(c.n / w.den)) AS val
+  FROM wcnt c JOIN wtot w ON w.ci = c.ci AND w.cj = c.cj
+  GROUP BY 1, 2
+),
+majo AS (
+  SELECT ci, cj, CAST(klass AS DOUBLE) AS val FROM (
+    SELECT ci, cj, klass,
+           ROW_NUMBER() OVER (
+             PARTITION BY ci, cj ORDER BY n DESC, klass ASC) AS rn
+    FROM wcnt
+  ) WHERE rn = 1
+),
+mino AS (
+  SELECT ci, cj, CAST(klass AS DOUBLE) AS val FROM (
+    SELECT ci, cj, klass,
+           ROW_NUMBER() OVER (
+             PARTITION BY ci, cj ORDER BY n ASC, klass ASC) AS rn
+    FROM wcnt
+  ) WHERE rn = 1
+),
+-- edges anchored at the left/top endpoint; an edge is valid iff BOTH
+-- endpoints are valid cells; window membership: both endpoints in W
+alledges AS MATERIALIZED (
+  SELECT a.i, a.j,
+         CASE WHEN a.klass != b.klass THEN 1 ELSE 0 END AS d,
+         a.klass AS ka, b.klass AS kb,
+         {r - 1} AS imax_off, {r} AS jmax_off
+  FROM cells a JOIN cells b ON b.i = a.i + 1 AND b.j = a.j
+  UNION ALL
+  SELECT a.i, a.j,
+         CASE WHEN a.klass != b.klass THEN 1 ELSE 0 END,
+         a.klass, b.klass, {r}, {r - 1}
+  FROM cells a JOIN cells b ON b.i = a.i AND b.j = a.j + 1
+),
+edg AS (
+  SELECT t.ci, t.cj,
+         CAST(SUM(e.d) AS DOUBLE) / COUNT(*) AS val,
+         SUM(e.d) AS nd
+  FROM ctr t JOIN alledges e
+    ON e.i BETWEEN t.ci - {r} AND t.ci + e.imax_off
+   AND e.j BETWEEN t.cj - {r} AND t.cj + e.jmax_off
+  GROUP BY 1, 2
+),
+wpair AS (
+  SELECT t.ci, t.cj, LEAST(e.ka, e.kb) AS pa, GREATEST(e.ka, e.kb) AS pb,
+         COUNT(*) AS n
+  FROM ctr t JOIN alledges e
+    ON e.d = 1
+   AND e.i BETWEEN t.ci - {r} AND t.ci + e.imax_off
+   AND e.j BETWEEN t.cj - {r} AND t.cj + e.jmax_off
+  GROUP BY 1, 2, 3, 4
+),
+wpt AS (SELECT ci, cj, CAST(SUM(n) AS DOUBLE) AS tot FROM wpair GROUP BY 1, 2),
+iji AS (
+  SELECT p.ci, p.cj,
+         -SUM((p.n / t.tot) * LN(p.n / t.tot)) / LN(6.0) AS val
+  FROM wpair p JOIN wpt t ON t.ci = p.ci AND t.cj = p.cj
+  GROUP BY 1, 2
+),
+-- annulus 1.5 < d <= 3: integer d² in {{4, 5, 8, 9}} (no integer d²=3)
+ann AS (
+  SELECT t.ci, t.cj, SUM(c.klass) / CAST(COUNT(*) AS DOUBLE) AS val
+  FROM ctr t JOIN cells c
+    ON (c.i - t.ci) * (c.i - t.ci) + (c.j - t.cj) * (c.j - t.cj)
+         BETWEEN 3 AND {r * r}
+  GROUP BY 1, 2
+)
+{finish("prop", "prop1")}
+UNION ALL {finish("rich", "rich")}
+UNION ALL {finish("shan", "shannon")}
+UNION ALL {finish("majo", "majority")}
+UNION ALL {finish("mino", "minority")}
+UNION ALL {finish("edg", "edged")}
+UNION ALL {finish("iji", "iji")}
+UNION ALL {finish("ann", "annulus")}
+"""
+
+
+def sq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse surface behind the driver hash (S2–S4, S9, S10 —
+    round 5, closing VERDICT r4 "What's missing" №4):
+
+      pinned  — snapshot-PINNED read (time travel): stage 1 commits the
+                n_nationkey < 15 carve; after stage 2 overwrites with
+                the full table, the pinned read must still return
+                exactly the carve (S3) through the manifest-driven
+                file-list scan (S2), via the CAS/WAL commit path (S4).
+      latest  — read AFTER bin-pack compaction (S9): multi-file
+                partitions rewritten to 1 file each under the checksum
+                abort rule; the head read must equal the full source.
+      zorder  — Z-order clustered layout + footer-stats file pruning
+                (S10): document cells written range-clustered, a bbox
+                compiled to Morton ranges prunes files from footers
+                alone, and the PRUNED scan must still produce the exact
+                bbox answer (a pruner that drops a needed file fails
+                the hash).
+
+    Oracle: every leg is recomputable from the raw source tables — the
+    lakehouse machinery must be a semantic no-op over them."""
+    import os
+    import shutil
+    import tempfile
+
+    from engine import grid, layout, udfs
+    from engine.deploy import ensure_shipped
+    from engine.lakehouse import LakeTable
+    from engine.shim import documents_interleaved
+
+    ensure_shipped(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_lakehouse_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    nation = spark.read.parquet(os.path.join(sf, "nation.parquet"))
+    tbl = LakeTable(base, "nation")
+    s1 = tbl.write_stage(
+        spark,
+        nation.filter(F.col("n_nationkey") < 15).repartition(4),
+        "n_regionkey",
+        "ingest-v1",
+        {"inputs": [f"{sf}/nation.parquet"], "params": {"carve": "<15"}},
+    )
+    tbl.write_stage(
+        spark,
+        nation.repartition(4),
+        "n_regionkey",
+        "ingest-v2",
+        {"inputs": [f"{sf}/nation.parquet"]},
+    )
+    tbl.compact(spark, max_files_per_partition=1)
+
+    def per_part(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy(
+            F.col("n_regionkey").cast("long").alias("part")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("snap"), "part", "n_rows", "key_sum")
+
+    pinned = per_part(tbl.read(spark, snapshot_id=s1["snapshot_id"]), "pinned")
+    latest = per_part(tbl.read(spark), "latest")
+
+    # S10 leg: cluster the level-8 document cells, prune by footer stats
+    level = 8
+    docs = documents_interleaved(spark, sf)
+    pts = udfs.geocode_cols(docs).select(
+        "doc_id",
+        udfs.cell_encode_pudf(
+            F.col("lat"), F.col("lon"), F.lit(level)
+        ).alias("cell_id"),
+    )
+    zdir = os.path.join(base, "zorder")
+    layout.write_clustered(pts, "cell_id", zdir, n_files=8)
+    ranges = grid.bbox_to_cell_ranges(5.0, 35.0, 100.0, 140.0, level)
+    spans = layout.file_cell_spans(zdir, "cell_id")
+    keep = layout.pruned_files(spans, ranges)
+    pred = None
+    for lo, hi in ranges:
+        c = F.col("cell_id").between(lo, hi)
+        pred = c if pred is None else (pred | c)
+    zd = (
+        spark.read.parquet(*keep)
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("key_sum"),
+        )
+        .select(
+            F.lit("zorder").alias("snap"),
+            F.lit(-1).cast("long").alias("part"),
+            "n_rows",
+            "key_sum",
+        )
+    )
+    return pinned.unionByName(latest).unionByName(zd)
+
+
+def _lakehouse_oracle_sql() -> str:
+    from engine.queries import _DOC_POINTS_SQL
+
+    return f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+cells AS (
+  SELECT doc_id,
+         ((CAST(FLOOR((lon + 180) / 360 * 256) AS BIGINT) % 256) + 256) % 256 AS i,
+         GREATEST(0, LEAST(127, CAST(FLOOR((lat + 90) / 180 * 128) AS BIGINT))) AS j
+  FROM pts
+)
+SELECT 'pinned' AS snap, CAST(n_regionkey AS BIGINT) AS part,
+       COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_nationkey < 15 GROUP BY 2
+UNION ALL
+SELECT 'latest', CAST(n_regionkey AS BIGINT), COUNT(*),
+       CAST(SUM(n_nationkey) AS BIGINT)
+FROM nation GROUP BY 2
+UNION ALL
+SELECT 'zorder', CAST(-1 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+FROM cells WHERE i BETWEEN 199 AND 227 AND j BETWEEN 67 AND 88
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -3009,6 +3308,8 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_terrain": (sq_terrain, SQ_TERRAIN_SQL),
     "sq_zonal": (sq_zonal, _zonal_merged_sql()),
     "sq_zonal_cat": (sq_zonal_cat, SQ_ZONAL_CAT_SQL),
+    "sq_landscape": (sq_landscape, _landscape_oracle_sql()),
+    "sq_lakehouse": (sq_lakehouse, _lakehouse_oracle_sql()),
     "sq_cost_path": (sq_cost_path, SQ_COST_PATH_SQL),
     "sq_contour": (sq_contour, _contour_oracle_sql()),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),
