@@ -119,19 +119,30 @@ FROM pts WHERE lat BETWEEN -20 AND -8 AND (lon >= 172 OR lon <= 188 - 360)
 TOKEN_DF_CAP = 20  # per-source document-frequency cap on join tokens
 
 
-def q17_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def q17_token_jaccard(
+    spark: SparkSession,
+    sf: str,
+    df_cap: int = TOKEN_DF_CAP,
+    threshold: float = 0.8,
+) -> DataFrame:
     """Token-set Jaccard near-dup within source, over DF-CAPPED token
-    sets: tokens appearing in more than TOKEN_DF_CAP docs of a source
+    sets: tokens appearing in more than ``df_cap`` docs of a source
     are dropped BEFORE the self-join (they carry no discriminative
     Jaccard signal and their postings lists make the equi-join
     quadratic on Zipf-hot tokens — the 100 TB skew guard). Sizes and
-    intersections both use the capped sets; oracle in lockstep."""
+    intersections both use the capped sets; oracle in lockstep.
+
+    100-TB tuning: ``df_cap`` bounds every posting list (join fan-out
+    <= df_cap^2/2 per token) — raise it only with a proportional
+    executor-memory budget; ``threshold`` is the report cutoff and
+    does not affect the join shape. Defaults are the oracle-pinned
+    contract values."""
     d = _T(spark, sf, "documents").select("doc_id", "source", _toks(F.col("text")).alias("toks"))
     dt_all = d.select("source", "doc_id", F.explode("toks").alias("tok")).distinct()
     hot = (
         dt_all.groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > TOKEN_DF_CAP)
+        .filter(F.col("df") > F.lit(df_cap))
         .select("source", "tok")
     )
     dt = dt_all.join(hot, ["source", "tok"], "left_anti")
@@ -149,7 +160,7 @@ def q17_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
         j.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
 
@@ -185,14 +196,26 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8 - 1e-12
 # q18: MinHash (16 fns) + LSH banding (4 bands x 4 rows) candidate pairs
 # ---------------------------------------------------------------------------
 
-def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def q18_minhash_lsh(
+    spark: SparkSession,
+    sf: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash (``n_hashes`` fns) + LSH banding (``n_hashes //
+    band_rows`` bands x ``band_rows`` rows) candidate pairs.
+
+    100-TB tuning: more bands (smaller ``band_rows``) raises recall and
+    bucket-collision volume; longer bands lower it — candidates scale
+    with bucket collisions, never all-pairs. Defaults are the
+    oracle-pinned contract geometry (16 = 4x4)."""
     d = _T(spark, sf, "documents").select(
         "doc_id", "source", _toks(F.col("text")).alias("toks")
     )
     dt = d.select(
         "source", "doc_id", F.explode("toks").alias("tok")
     ).distinct().withColumn("h", _h32(F.col("tok")) % F.lit(P_MOD))
-    hp = spark.range(N_HASHES).select(
+    hp = spark.range(n_hashes).select(
         F.col("id").alias("hid"),
         (2 * F.col("id") + 1).alias("a"),
         (7919 * F.col("id")).alias("b"),
@@ -203,7 +226,7 @@ def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(P_MOD)).alias("mh"))
     )
     bands = (
-        sig.withColumn("band", (F.col("hid") / BAND_ROWS).cast("int"))
+        sig.withColumn("band", (F.col("hid") / F.lit(band_rows)).cast("int"))
         .groupBy("source", "doc_id", "band")
         .agg(
             F.concat_ws(
@@ -805,10 +828,17 @@ def _neardup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return orig.unionAll(clone)
 
 
-def _srp_signatures(corpus: DataFrame) -> DataFrame:
-    """(vec_id, band, key): key = 8-bit sign pattern of the band's
-    hyperplane dots. Hyperplane k component d = hashfrac(k·64+d+1)−0.5;
-    everything is JVM higher-order functions — no UDF."""
+def _srp_signatures(
+    corpus: DataFrame, srp_bands: int = SRP_BANDS, srp_rows: int = SRP_ROWS
+) -> DataFrame:
+    """(vec_id, band, key): key = ``srp_rows``-bit sign pattern of the
+    band's hyperplane dots. Hyperplane k component d =
+    hashfrac(k·64+d+1)−0.5; everything is JVM higher-order functions —
+    no UDF.
+
+    100-TB tuning: recall ~ 1−(1−s^srp_rows)^srp_bands for cosine
+    similarity s — add bands for recall (linear cost), add rows for
+    precision (smaller buckets). Defaults are the oracle-pinned 4x8."""
     w = lambda k, d: (  # noqa: E731
         ((k * _DIM + d + 1) * F.lit(2654435761)) % F.lit(2**32) / F.lit(float(2**32))
         - F.lit(0.5)
@@ -819,24 +849,26 @@ def _srp_signatures(corpus: DataFrame) -> DataFrame:
         lambda acc, d: acc + F.element_at("emb", d + 1) * w(F.col("k"), d),
     )
     return (
-        corpus.select("vec_id", "emb", F.explode(F.sequence(F.lit(0), F.lit(SRP_BANDS * SRP_ROWS - 1))).alias("k"))
+        corpus.select("vec_id", "emb", F.explode(F.sequence(F.lit(0), F.lit(srp_bands * srp_rows - 1))).alias("k"))
         .withColumn("dot", dot)
-        .groupBy("vec_id", (F.col("k") / SRP_ROWS).cast("int").alias("band"))
+        .groupBy("vec_id", (F.col("k") / F.lit(srp_rows)).cast("int").alias("band"))
         .agg(
             F.sum(
                 F.when(
                     F.col("dot") > 0,
-                    F.pow(F.lit(2.0), F.col("k") % SRP_ROWS).cast("long"),
+                    F.pow(F.lit(2.0), F.col("k") % F.lit(srp_rows)).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("key")
         )
     )
 
 
-def neardup_candidates(corpus: DataFrame) -> DataFrame:
+def neardup_candidates(
+    corpus: DataFrame, srp_bands: int = SRP_BANDS, srp_rows: int = SRP_ROWS
+) -> DataFrame:
     """Distinct candidate pairs sharing ≥1 band bucket (the sublinear
     LSH join — also exercised standalone by the scale test)."""
-    sig = _srp_signatures(corpus)
+    sig = _srp_signatures(corpus, srp_bands, srp_rows)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "key")
     return (
@@ -847,9 +879,15 @@ def neardup_candidates(corpus: DataFrame) -> DataFrame:
     )
 
 
-def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def q25_embedding_neardup(
+    spark: SparkSession,
+    sf: str,
+    srp_bands: int = SRP_BANDS,
+    srp_rows: int = SRP_ROWS,
+    tau: float = NEARDUP_TAU,
+) -> DataFrame:
     corpus = _neardup_corpus(spark, sf)
-    cand = neardup_candidates(corpus)
+    cand = neardup_candidates(corpus, srp_bands, srp_rows)
     ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     dot = F.aggregate(
@@ -864,7 +902,7 @@ def q25_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cos_sim", dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))))
-        .filter(F.col("cos_sim") >= NEARDUP_TAU)
+        .filter(F.col("cos_sim") >= F.lit(tau))
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 

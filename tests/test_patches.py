@@ -229,3 +229,31 @@ def test_patch_stats_tile_size_invariance(spark, raster):
             ref = got
         else:
             np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_tile_limit_defaults_to_distributed(spark, raster, monkeypatch):
+    """r5 scale default: past driver_tile_limit tiles, stitching picks
+    the distributed min-label path WITHOUT counting edges first — the
+    100x-scale default must never materialize the edge set on the
+    driver. Results stay identical to the driver union-find."""
+    T = 16
+    calls = {"dist": 0}
+    orig = patches._distributed_min_label
+
+    def spy(spark_, edges_df, nodes):
+        calls["dist"] += 1
+        return orig(spark_, edges_df, nodes)
+
+    monkeypatch.setattr(patches, "_distributed_min_label", spy)
+    _, pt_dist = patches.build_patches(
+        tiles_df(spark, raster, T), T, spark, driver_tile_limit=0
+    )
+    dist_pd = pt_dist.toPandas().sort_values("patch_id").reset_index(drop=True)
+    assert calls["dist"] == 1
+
+    _, pt_drv = patches.build_patches(
+        tiles_df(spark, raster, T), T, spark, driver_tile_limit=10_000
+    )
+    drv_pd = pt_drv.toPandas().sort_values("patch_id").reset_index(drop=True)
+    assert calls["dist"] == 1  # small grid stays on the driver path
+    assert dist_pd.equals(drv_pd)
