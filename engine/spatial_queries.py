@@ -3297,6 +3297,74 @@ FROM cells WHERE i BETWEEN 199 AND 227 AND j BETWEEN 67 AND 88
 """
 
 
+def sq_ascii_io(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 raster interchange behind the driver hash (round 5 — raster
+    ingest is the one §2 row kept "partial" by sandbox constraint, no
+    GDAL/rasterio exists here; ESRI ASCII is the interchange stand-in,
+    engine/raster_io.py). The level-9 doc-count raster round-trips
+    through an .asc file and back into tiles:
+
+      src — tile summary straight off rasterize (occupied pixels only;
+            empty pixels are NaN/nodata by the rasterize contract).
+      rt  — the same after write_ascii_grid → parse → re-tile. The
+            written array spans the bounding extent from tile (0,0)
+            (array_from_tiles_rows), so absent tiles inside that extent
+            come back as all-nodata tiles with n_valid=0 — the oracle
+            enumerates the extent rectangle to pin exactly that.
+
+    `repr()` float formatting round-trips doubles losslessly, so 'rt'
+    occupied tiles must hash identically to 'src'."""
+    import os
+    import tempfile
+
+    from engine import raster_io, tiling, udfs
+    from engine.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    level, T = 9, 32
+    docs = shim.documents_interleaved(spark, sf)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), level, T)
+    tiles = tiling.rasterize(pts, T, level, stat="count")
+    tiles.persist()
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_ascii_{os.path.basename(os.path.normpath(sf))}.asc",
+    )
+    raster_io.write_ascii_grid(tiles, T, path)
+    back = raster_io.read_ascii_grid(spark, path, T, level=level, band="count")
+
+    src = _tile_summary(tiles).withColumn("band", F.lit("src"))
+    rt = _tile_summary(back).withColumn("band", F.lit("rt"))
+    return src.unionByName(rt)
+
+
+# 'src' = occupied tiles (n_valid = occupied pixels); 'rt' adds the
+# all-nodata tiles of the bounding extent [0, max_tx] x [0, max_ty]
+# (level-9 tile grid is at most 16 x 8, so the range() is bounded by
+# literals and filtered by the measured extent).
+SQ_ASCII_IO_SQL = f"""
+WITH {_CNT_SQL},
+tsum AS (
+  SELECT gi // 32 AS tx, gj // 32 AS ty,
+         COUNT(*) AS nv, ROUND(SUM(v), 4) AS s
+  FROM cnt GROUP BY 1, 2
+),
+ext AS (SELECT MAX(tx) AS mx, MAX(ty) AS my FROM tsum),
+allt AS (
+  SELECT x.i AS tx, y.j AS ty FROM range(0, 16) x(i), range(0, 8) y(j)
+  WHERE x.i <= (SELECT mx FROM ext) AND y.j <= (SELECT my FROM ext)
+)
+SELECT CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+       'src' AS band, CAST(nv AS BIGINT) AS n_valid, s AS tile_sum
+FROM tsum
+UNION ALL
+SELECT CAST(a.tx AS INT), CAST(a.ty AS INT), 'rt',
+       CAST(COALESCE(t.nv, 0) AS BIGINT), COALESCE(t.s, 0.0)
+FROM allt a LEFT JOIN tsum t ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+
 # name -> (fn, oracle_sql | None); None = driver rows-only check
 SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_focal_mean_circle": (sq_focal_mean_circle, SQ_FOCAL_MEAN_CIRCLE_SQL),
@@ -3310,6 +3378,7 @@ SPATIAL_QUERIES: dict[str, tuple[Query, str | None]] = {
     "sq_zonal_cat": (sq_zonal_cat, SQ_ZONAL_CAT_SQL),
     "sq_landscape": (sq_landscape, _landscape_oracle_sql()),
     "sq_lakehouse": (sq_lakehouse, _lakehouse_oracle_sql()),
+    "sq_ascii_io": (sq_ascii_io, SQ_ASCII_IO_SQL),
     "sq_cost_path": (sq_cost_path, SQ_COST_PATH_SQL),
     "sq_contour": (sq_contour, _contour_oracle_sql()),
     "sq_pyramid": (sq_pyramid, SQ_PYRAMID_SQL),

@@ -1745,3 +1745,186 @@ SELECT '3_purchase_after_click', CAST(n3 AS BIGINT),
 """
 
 TEXT_QUERIES["q44_event_funnel"] = (q44_event_funnel, Q44_SQL)
+
+
+# ---------------------------------------------------------------------------
+# T1–T5 Structured Streaming surface behind the driver hash (round 5)
+# ---------------------------------------------------------------------------
+
+_EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+_SESSION_GAP_US = 900_000_000  # 15 minutes, Spark session_window gap
+
+
+def sq_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """T1–T5 behind the driver hash (round 5; T-family was golden-only
+    through round 4). Three availableNow drains of the events parquet
+    into memory sinks, unioned to one long schema
+    (part, k1 bigint, k2, n, m):
+
+      win   — T1 micro-batch ingest + T2 event-time tumbling windows:
+              10-minute counts + floor-cent value sums per event_type,
+              complete mode (deterministic full emission — the
+              append-mode watermark late-drop semantics stay covered by
+              the golden tests, which this row does not replace).
+      sess  — T4 session windows (15-minute gap) per user: Spark merges
+              events while consecutive gaps are < gap, so per-session
+              span = window.end − window.start − gap; emitted per user
+              as (n_sessions, total span µs). Complete mode (session
+              windows reject update; the drain emits the fully-merged
+              final state).
+      dedup — T5 stateful cross-batch dedup: the input dir carries TWO
+              copies of the events file and maxFilesPerTrigger=1 forces
+              one copy per micro-batch; dropDuplicates(event_id) under
+              a 31-day watermark (the fixture spans 30 days — nothing
+              evicts) must reduce batch 2 to nothing, leaving exactly
+              the single-copy per-type aggregate.
+
+    The streaming plans reuse the batch column expressions, so each leg
+    is re-derivable from the batch events table — the oracle recomputes
+    all three from `events`, making the streaming layer a proven
+    semantic no-op over the same files."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from engine.streaming import run_to_memory
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_stream_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    single, double = os.path.join(base, "single"), os.path.join(base, "double")
+    os.makedirs(single)
+    os.makedirs(double)
+    src = os.path.join(sf, "events.parquet")
+    shutil.copy(src, os.path.join(single, "events-0.parquet"))
+    shutil.copy(src, os.path.join(double, "events-0.parquet"))
+    shutil.copy(src, os.path.join(double, "events-1.parquet"))
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    tag = uuid.uuid4().hex[:8]  # memory-sink names are session-global
+
+    # -- win: complete-mode tumbling window aggregation
+    win_name = f"sq_stream_win_{tag}"
+    s_win = spark.readStream.schema(_EVENTS_DDL).parquet(single)
+    run_to_memory(
+        s_win.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("m")),
+        win_name,
+        output_mode="complete",
+    )
+    win = spark.table(win_name).select(
+        F.lit("win").alias("part"),
+        F.unix_timestamp("win.start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("m").cast("long").alias("m"),
+    )
+
+    # -- sess: session windows, update mode (single micro-batch => final)
+    sess_name = f"sq_stream_sess_{tag}"
+    s_sess = spark.readStream.schema(_EVENTS_DDL).parquet(single)
+    run_to_memory(
+        s_sess.withWatermark("ts", "31 days")
+        .groupBy(F.session_window("ts", "15 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev")),
+        sess_name,
+        output_mode="complete",
+    )
+    sess = (
+        spark.table(sess_name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.unix_micros("sw.end")
+                - F.unix_micros("sw.start")
+                - F.lit(_SESSION_GAP_US)
+            ).cast("long").alias("m"),
+        )
+        .select(
+            F.lit("sess").alias("part"),
+            F.col("user_id").alias("k1"),
+            F.lit("").alias("k2"),
+            "n",
+            "m",
+        )
+    )
+
+    # -- dedup: append mode across two forced micro-batches
+    dd_name = f"sq_stream_dedup_{tag}"
+    s_dd = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(double)
+    )
+    run_to_memory(
+        s_dd.withWatermark("ts", "31 days").dropDuplicates(["event_id"]),
+        dd_name,
+    )
+    dedup = (
+        spark.table(dd_name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum(cents).alias("m"))
+        .select(
+            F.lit("dedup").alias("part"),
+            F.lit(0).cast("long").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n",
+            "m",
+        )
+    )
+
+    return win.unionByName(sess).unionByName(dedup)
+
+
+# Window start mirrored in integer µs arithmetic (epoch_us // 600e6 —
+# Spark's F.window aligns tumbling windows at epoch 0 UTC); sessions
+# mirrored by the gap rule: Spark merges an event into the current
+# session iff it starts BEFORE last_ts + gap, so a new session begins
+# exactly when diff >= gap; per-session span = max(ts) − min(ts).
+SQ_STREAMING_SQL = f"""
+WITH cents AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+),
+brk AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk
+),
+per_sess AS (
+  SELECT user_id, s, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur
+  FROM sid GROUP BY 1, 2
+)
+SELECT 'win' AS part,
+       (epoch_us(ts) // 600000000) * 600 AS k1,
+       event_type AS k2,
+       COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS m
+FROM cents GROUP BY 2, 3
+UNION ALL
+SELECT 'sess', user_id, '', COUNT(*), CAST(SUM(dur) AS BIGINT)
+FROM per_sess GROUP BY 2
+UNION ALL
+SELECT 'dedup', 0, event_type, COUNT(*), CAST(SUM(c) AS BIGINT)
+FROM cents GROUP BY 3
+"""
+
+TEXT_QUERIES["sq_streaming"] = (sq_streaming, SQ_STREAMING_SQL)
