@@ -439,14 +439,22 @@ def focal_percentile(
     NaN where the window has no valid cells. Same bounded-distinct-
     values contract as majority/richness: per-class chord sums are the
     sufficient statistic, so the kernel is exact with zero sorting and
-    the cost is O(distinct values) sliding sums."""
+    the cost is O(distinct values) sliding sums.
+
+    The rank is computed in exact per-myriad integer arithmetic (q
+    quantized to 1/10000, rank = ceil(q_pm*n/10000)) — the same A11
+    convention zonal_percentile pins — because float ceil(q*n) is
+    off-by-one whenever q*n is mathematically integral but rounds up in
+    IEEE (e.g. 0.1*10 = 1.0000000000000002 -> rank 2 instead of 1)."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     classes, counts, total = _class_counts(class_arr, r, shape)
     if len(classes) == 0:
         return np.full(class_arr.shape, np.nan)
     cum = np.cumsum(np.rint(counts), axis=0)
-    rank = np.ceil(q * np.rint(total))
+    q_pm = max(1, int(round(q * 10000)))
+    n = np.rint(total).astype(np.int64)
+    rank = np.maximum(-(-q_pm * n // 10000), 1).astype(np.float64)
     pick = np.argmax(cum >= rank[None, ...], axis=0)
     out = classes[pick].astype(np.float64)
     out[np.rint(total) == 0] = np.nan

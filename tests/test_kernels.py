@@ -366,7 +366,9 @@ def test_focal_percentile_brute(class_arr, shape, r, q):
                         vals.append(v)
             if vals:
                 vals.sort()
-                want[y, x] = vals[math.ceil(q * len(vals)) - 1]
+                # exact integer rank: ceil(q_pm*n/10000), never float ceil
+                q_pm = int(round(q * 10000))
+                want[y, x] = vals[max(-((-q_pm * len(vals)) // 10000), 1) - 1]
     np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
 
 
