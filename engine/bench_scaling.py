@@ -79,6 +79,7 @@ def run_legs(
     scratch: str,
     legs: tuple[str, ...] = ALL_LEGS,
     preset: str = "scaling",
+    timed_runs: int = 1,
 ) -> dict:
     from engine import bench_jobs
     from engine.session import get_spark
@@ -87,42 +88,54 @@ def run_legs(
     # so the two runs differ ONLY in declared parallelism — BASELINE.md
     spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=4 * cores)
 
-    def steady(fn):
+    def steady(fn, sec_at: int):
         # first execution per JVM pays codegen/JIT/python-worker spin-up
         # (measured 2-3x slower than steady state); a FULL GC then
         # clears the warmup's garbage so the timed run doesn't stall on
         # G1 humongous-allocation cycles (bench_jobs.force_gc — the
-        # round-1 run-over-run 127->47->28 tiles/s mystery)
+        # round-1 run-over-run 127->47->28 tiles/s mystery).
+        # timed_runs > 1 (driver headline only — the scaling harness
+        # keeps 1 timed run per JVM and handles host drift with its
+        # interleaved-pairs median instead): the host VM has documented
+        # multi-minute slow windows that only ever SUBTRACT from
+        # measured capability (BENCH/BASELINE.md), so the best of k
+        # timed runs is the drift-robust capability estimate; all k
+        # wall times are reported alongside.
         fn()
-        bench_jobs.force_gc(spark)
-        return fn()
+        runs = []
+        for _ in range(max(1, timed_runs)):
+            bench_jobs.force_gc(spark)
+            runs.append(fn())
+        best = min(runs, key=lambda r: r[sec_at])
+        return best, [round(float(r[sec_at]), 3) for r in runs]
 
     sz = PRESETS[preset]
     out: dict = {"cores": cores}
     if "focal" in legs:
         ny = max(int(sz["ny"] * scale), 2)
-        n_tiles, s_focal = steady(
-            lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny)
+        (n_tiles, s_focal), all_s = steady(
+            lambda: bench_jobs.leg_focal(spark, scratch, nx=2 * ny, ny=ny), 1
         )
-        out["focal"] = {"tiles": n_tiles, "sec": s_focal, "per_sec": n_tiles / s_focal}
+        out["focal"] = {"tiles": n_tiles, "sec": s_focal, "per_sec": n_tiles / s_focal,
+                        "sec_all": all_s}
     if "pip" in legs:
-        n_pts, n_pip, s_pip = steady(
-            lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(sz["pip_points"] * scale))
+        (n_pts, n_pip, s_pip), all_s = steady(
+            lambda: bench_jobs.leg_pip(spark, scratch, n_points=int(sz["pip_points"] * scale)), 2
         )
         out["pip"] = {"rows": n_pip, "sec": s_pip, "per_sec": n_pip / s_pip,
-                      "in_rows": n_pts}
+                      "in_rows": n_pts, "sec_all": all_s}
     if "pipeline" in legs:
-        n_docs, n_ptiles, s_pipe = steady(
-            lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(sz["pipe_docs"] * scale))
+        (n_docs, n_ptiles, s_pipe), all_s = steady(
+            lambda: bench_jobs.leg_pipeline(spark, scratch, n_docs=int(sz["pipe_docs"] * scale)), 2
         )
         out["pipeline"] = {"docs": n_docs, "sec": s_pipe, "per_sec": n_docs / s_pipe,
-                           "out_tiles": n_ptiles}
+                           "out_tiles": n_ptiles, "sec_all": all_s}
     if "pipet" in legs:
-        n_docs, n_ptiles, s_pt = steady(
-            lambda: bench_jobs.leg_pipeline_typed(spark, scratch, n_docs=int(sz["pipe_docs"] * scale))
+        (n_docs, n_ptiles, s_pt), all_s = steady(
+            lambda: bench_jobs.leg_pipeline_typed(spark, scratch, n_docs=int(sz["pipe_docs"] * scale)), 2
         )
         out["pipet"] = {"docs": n_docs, "sec": s_pt, "per_sec": n_docs / s_pt,
-                        "out_tiles": n_ptiles}
+                        "out_tiles": n_ptiles, "sec_all": all_s}
     return out
 
 
@@ -156,6 +169,7 @@ def _submit_one(
     materialize: bool = False,
     legs: tuple[str, ...] | None = None,
     preset: str = "scaling",
+    timed_runs: int = 1,
 ) -> dict:
     cmd = ([] if materialize else _cpu_pin(cores)) + [
         SPARK_SUBMIT,
@@ -172,6 +186,7 @@ def _submit_one(
         os.path.abspath(__file__),
         "--runner", "--cores", str(cores), "--scale", str(scale),
         "--scratch", scratch, "--preset", preset,
+        "--timed-runs", str(timed_runs),
     ]
     if legs:
         cmd += ["--legs", ",".join(legs)]
@@ -408,6 +423,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--legs", default=",".join(ALL_LEGS))
     ap.add_argument("--preset", default="scaling", choices=sorted(PRESETS))
+    ap.add_argument("--timed-runs", type=int, default=1)
     args = ap.parse_args()
 
     if args.runner:
@@ -424,7 +440,8 @@ def main() -> None:
         else:
             legs = tuple(x for x in args.legs.split(",") if x)
             print(json.dumps(
-                run_legs(args.cores, args.scale, scratch, legs, args.preset)
+                run_legs(args.cores, args.scale, scratch, legs, args.preset,
+                         timed_runs=args.timed_runs)
             ))
     else:
         if _REPO not in sys.path:
