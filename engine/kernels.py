@@ -445,7 +445,7 @@ def focal_percentile(
     quantized to 1/10000, rank = ceil(q_pm*n/10000)) — the same A11
     convention zonal_percentile pins — because float ceil(q*n) is
     off-by-one whenever q*n is mathematically integral but rounds up in
-    IEEE (e.g. 0.1*10 = 1.0000000000000002 -> rank 2 instead of 1)."""
+    IEEE (e.g. 0.07*100 = 7.000000000000001 -> rank 8 instead of 7)."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     classes, counts, total = _class_counts(class_arr, r, shape)
@@ -527,7 +527,6 @@ def focal_interspersion(
     ncl = len(classes)
     if ncl < 2:
         return np.full((H, W), np.nan)
-    idx = {c: k for k, c in enumerate(classes)}
     hc = chords_for(shape, r, "hedge")
     vc = chords_for(shape, r, "vedge")
     pair_counts: list[np.ndarray] = []

@@ -3205,7 +3205,11 @@ def sq_lakehouse(spark: SparkSession, sf: str) -> DataFrame:
     ensure_shipped(spark)
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mw_lakehouse_{os.path.basename(os.path.normpath(sf))}",
+        # pid-keyed: stable within a process (rmtree+rebuild on rerun)
+        # but isolated across concurrent runs over the same fixture —
+        # a shared path let one process rmtree files another process's
+        # lazily-evaluated snapshot reads still referenced
+        f"mw_lakehouse_{os.path.basename(os.path.normpath(sf))}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
 
@@ -3329,7 +3333,9 @@ def sq_ascii_io(spark: SparkSession, sf: str) -> DataFrame:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"mw_ascii_{os.path.basename(os.path.normpath(sf))}.asc",
+        # pid-keyed like sq_lakehouse's scratch: concurrent processes
+        # over the same fixture must not overwrite each other's file
+        f"mw_ascii_{os.path.basename(os.path.normpath(sf))}_{os.getpid()}.asc",
     )
     raster_io.write_ascii_grid(tiles, T, path)
     back = raster_io.read_ascii_grid(spark, path, T, level=level, band="count")

@@ -1795,7 +1795,9 @@ def sq_streaming(spark: SparkSession, sf: str) -> DataFrame:
 
     base = os.path.join(
         tempfile.gettempdir(),
-        f"mw_stream_{os.path.basename(os.path.normpath(sf))}",
+        # pid-keyed like sq_lakehouse's scratch: a shared path let one
+        # process rmtree the source files mid-stream of another
+        f"mw_stream_{os.path.basename(os.path.normpath(sf))}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     single, double = os.path.join(base, "single"), os.path.join(base, "double")
@@ -1827,7 +1829,8 @@ def sq_streaming(spark: SparkSession, sf: str) -> DataFrame:
         F.col("m").cast("long").alias("m"),
     )
 
-    # -- sess: session windows, update mode (single micro-batch => final)
+    # -- sess: session windows, complete mode (session_window rejects
+    #    update; single micro-batch => the complete output IS final)
     sess_name = f"sq_stream_sess_{tag}"
     s_sess = spark.readStream.schema(_EVENTS_DDL).parquet(single)
     run_to_memory(

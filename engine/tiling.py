@@ -69,7 +69,8 @@ KERNELS = {
     "shannon": kernels.focal_shannon,
     "majority": kernels.focal_majority,
     "edge_density": kernels.focal_edge_density,
-    "interspersion": kernels.focal_interspersion,
+    # NOTE: "interspersion" is resolved in _resolve_stat, not here — it
+    # requires the raster-wide class domain in tiled execution.
 }
 
 
@@ -478,7 +479,7 @@ def assemble_padded(
     return bands, nr, nc
 
 
-def _resolve_stat(name: str):
+def _resolve_stat(name: str, class_domain=None):
     """KERNELS lookup + the parameterized W5 form ``proportion:<class>``
     (fraction of valid cells in the window equal to <class>)."""
     if name.startswith("proportion:"):
@@ -487,6 +488,22 @@ def _resolve_stat(name: str):
     if name.startswith("annulus_mean:"):
         r_in = float(name.split(":", 1)[1])
         return lambda a, r, s, _ri=r_in: kernels.focal_annulus_mean(a, r, _ri)
+    if name == "interspersion":
+        # W10 is NOT absent-class-invariant: each worker sees only
+        # tile+halo, and deriving the class set per block skews the
+        # ln(n_pairs) denominator on blocks missing a class (see
+        # kernels.focal_interspersion). Refuse to run without the
+        # raster-wide domain rather than return tile-size-dependent
+        # values.
+        if class_domain is None:
+            raise ValueError(
+                "stat 'interspersion' requires apply_focal(...,"
+                " class_domain=<raster-wide class set>)"
+            )
+        dom = np.asarray(sorted(float(c) for c in class_domain))
+        return lambda a, r, s, _d=dom: kernels.focal_interspersion(
+            a, r, s, classes=_d
+        )
     return KERNELS[name]
 
 
@@ -499,6 +516,7 @@ def apply_focal(
     level: int,
     wrap_nx: int | None = None,
     halo: int | None = None,
+    class_domain=None,
 ) -> DataFrame:
     """One halo exchange + ONE applyInPandas computing every requested
     stat per tile (amortizes the shuffle across stats).
@@ -506,6 +524,9 @@ def apply_focal(
     stats: list of KERNELS names, or {out_band: callable(arr, r, shape)}.
     Input must be single-band; for multi-band custom ops use
     halo_exchange + your own assembler (see engine/patches.py).
+    class_domain: raster-wide class set — required by (and only used
+    for) the 'interspersion' string stat, whose normalization is not
+    absent-class-invariant per tile block.
     """
     g = halo if halo is not None else r
     if g < r:
@@ -513,7 +534,7 @@ def apply_focal(
     if isinstance(stats, dict):
         fns = stats
     else:
-        fns = {s: _resolve_stat(s) for s in stats}
+        fns = {s: _resolve_stat(s, class_domain) for s in stats}
 
     exchanged = halo_exchange(tiles, T, g, wrap_nx)
 

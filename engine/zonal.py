@@ -338,8 +338,8 @@ def quantile_exact(
     alternative to percentile_approx: iterative histogram k-selection.
     Returns the element of rank ceil(q·n) (1-based, DuckDB
     quantile_disc semantics) for each q. Convention note: the rank is
-    FLOAT ceil (math.ceil(q*n) on IEEE doubles, e.g. 0.9·10 → rank 10
-    not 9) — pinned because the DuckDB quantile_disc oracle computes
+    FLOAT ceil (math.ceil(q*n) on IEEE doubles, e.g. 0.07·100 → rank 8
+    not 7) — pinned because the DuckDB quantile_disc oracle computes
     the same float expression; zonal_percentile below uses exact
     per-myriad integer ceil instead (its oracle mirrors that).
 
@@ -588,8 +588,9 @@ def zonal_percentile(
     # computed in EXACT integer arithmetic via q as per-myriad
     # (rank = ceil(q_pm·n / 10000) = (q_pm·n + 9999) div 10000):
     # float ceil(q·total) is off-by-one whenever q·n is mathematically
-    # integral but not representable (0.9·10 → 9.000000000000002 → 10)
-    # — r4 ADVICE fix; q itself stays a double output column.
+    # integral but the product rounds up in IEEE (0.07·100 →
+    # 7.000000000000001 → rank 8) — r4 ADVICE fix; q itself stays a
+    # double output column.
     sess = tiles.sparkSession
     qdf = sess.createDataFrame(
         [(float(q), int(round(q * 10000))) for q in qs], "q double, q_pm long"

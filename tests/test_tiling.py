@@ -51,6 +51,26 @@ def test_tile_size_invariance(spark):
     np.testing.assert_allclose(ref, kernels.focal_shannon(arr, 3, "circle"), rtol=1e-12, atol=1e-12)
 
 
+def test_interspersion_registry_requires_class_domain(spark):
+    """W10 is not absent-class-invariant per tile block: the string
+    stat must refuse to run without the raster-wide domain, and with it
+    the tiled result must match the full-array kernel even when single
+    tile+halo blocks miss classes."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 4, size=(32, 32)).astype(np.float64)
+    arr[:16, :16] = 0.0  # a whole quadrant missing classes 1-3
+    T = 8
+    with pytest.raises(ValueError, match="class_domain"):
+        tiling.apply_focal(tiles_df(spark, arr, T), 2, "square",
+                           ["interspersion"], T, level=10)
+    dom = np.unique(arr)
+    out = tiling.apply_focal(tiles_df(spark, arr, T), 2, "square",
+                             ["interspersion"], T, level=10, class_domain=dom)
+    got = collect_band(out, "interspersion", T)
+    want = kernels.focal_interspersion(arr, 2, "square", classes=dom)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
 def test_focal_proportion_registry(spark):
     """W5 via the stats registry: 'proportion:<class>' names resolve."""
     arr = fixtures.raster_fixture(seed=4)

@@ -333,7 +333,7 @@ def test_zonal_percentile_matches_bruteforce(spark):
         vz = np.sort(vals[ok & (zones == z)].astype(np.int64))
         for q in qs:
             # element at rank ceil(q*n), 1-indexed — exact per-myriad
-            # integer ceil (never float: 0.9*10 floats to 9.0000...02)
+            # integer ceil (never float: 0.07*100 floats to 7.0000...01)
             rank = (round(q * 10000) * len(vz) + 9999) // 10000
             want[(z, q)] = vz[rank - 1]
     assert got == want
