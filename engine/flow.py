@@ -146,14 +146,17 @@ def _receivers(dirs: np.ndarray):
 
 
 def _solve_tile(
-    dirs: np.ndarray, inflow: np.ndarray, weight: np.ndarray | None = None
-) -> tuple[np.ndarray, list[tuple[int, int, int, float]]]:
+    dirs: np.ndarray,
+    inflow: np.ndarray,
+    weight: np.ndarray | None = None,
+    rcv: tuple | None = None,
+) -> np.ndarray:
     """Kahn-wave accumulation inside one tile. dirs: (nr,nc) D8 codes
     (NaN invalid); inflow: external contributions per cell; weight:
     optional per-cell own contribution (default 1.0 everywhere —
-    classic cell-count accumulation). Returns (acc plane,
-    [(dtx, dty, dst_cell, flow), ...] border emissions with dtx/dty in
-    {-1,0,1})."""
+    classic cell-count accumulation); rcv: a precomputed
+    ``_receivers(dirs)`` tuple to reuse (the caller often needs it
+    anyway). Returns the accumulation plane."""
     nr, nc = dirs.shape
     n = nr * nc
     d = dirs.ravel()
@@ -163,7 +166,7 @@ def _solve_tile(
     )
     acc = np.where(valid, own + inflow.ravel(), 0.0)
 
-    recv, out_mask, jj, ii = _receivers(dirs)
+    recv = (rcv if rcv is not None else _receivers(dirs))[0]
 
     indeg = np.zeros(n, dtype=np.int64)
     has_recv = recv >= 0
@@ -176,31 +179,11 @@ def _solve_tile(
         tgt = recv[fr]
         np.add.at(acc, tgt, acc[fr])
         np.subtract.at(indeg, tgt, 1)
-        done = np.zeros(n, dtype=bool)
-        done[tgt] = True
-        frontier = np.flatnonzero(done & (indeg == 0))
-
-    emits: list[tuple[int, int, int, float]] = []
-    for cell in np.flatnonzero(out_mask):
-        dj, di = _CODE2OFF[int(d[cell])]
-        tj, ti = jj[cell] + dj, ii[cell] + di
-        # destination coordinates in the NEIGHBOR tile's local frame.
-        # A border crossing lands on the first/last row/col of the
-        # neighbor, i.e. local index 0 or (neighbor dim − 1) — the
-        # neighbor's dims are unknown here (ragged tiles!), so row/col
-        # are packed as (tj<<16)|ti with 0xFFFF meaning "last": the
-        # receiver resolves it against ITS OWN nrows/ncols.
-        dty, dtx = 0, 0
-        if tj < 0:
-            dty, tj = -1, 0xFFFF
-        elif tj >= nr:
-            dty, tj = 1, tj - nr  # always 0 for a 1-step D8 move
-        if ti < 0:
-            dtx, ti = -1, 0xFFFF
-        elif ti >= nc:
-            dtx, ti = 1, ti - nc
-        emits.append((dtx, dty, int((tj << 16) | ti), float(acc[cell])))
-    return acc, emits
+        # next frontier comes from this wave's own targets — a full-tile
+        # scan per wave made a serpentine path O(longest_path x n)
+        u = np.unique(tgt)
+        frontier = u[indeg[u] == 0]
+    return acc
 
 
 _ACC_BORDER_SCHEMA = (
@@ -231,10 +214,34 @@ def _border_dst(tx, ty, nr, nc, jj, ii, cell, code, wrap_nx):
     return ntx, ty + dty, int((int(tj) << 16) | int(ti))
 
 
+def _alias_cellkeys(lj: int, li: int, nr: int, nc: int) -> list[int]:
+    """Every packed cellkey a neighbor's link may address this border
+    cell by: the literal (lj, li) plus the 0xFFFF "last row/col"
+    sentinel aliases (the emitter cannot know a ragged neighbor's
+    dims — _border_dst's counterpart on the receiving side)."""
+    jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
+    ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
+    return [int((kj << 16) | ki) for kj in jkeys for ki in ikeys]
+
+
+def _remap_pending(want: np.ndarray, m_ok: np.ndarray, vals: list[np.ndarray],
+                   ctx: str) -> list[np.ndarray]:
+    """Sorted-okey searchsorted remap shared by the paint stages:
+    resolves each pending okey in ``want`` against the (unsorted) map
+    ``m_ok -> vals[k]``, raising loudly on any unresolved okey — a
+    silent clip mismatch would paint a wrong value (r3 VERDICT)."""
+    order = np.argsort(m_ok)
+    m_ok = m_ok[order]
+    pos = np.clip(np.searchsorted(m_ok, want), 0, len(m_ok) - 1)
+    if not (m_ok[pos] == want).all():
+        missing = np.unique(want[m_ok[pos] != want])[:5]
+        raise RuntimeError(f"{ctx}: unresolved okeys: {missing}")
+    return [v[order][pos] for v in vals]
+
+
 def flow_accumulation(
     dir_tiles: DataFrame,
     T: int,
-    spark: SparkSession,
     level: int = 0,
     wrap_nx: int | None = None,
     max_rounds: int = 64,
@@ -253,8 +260,13 @@ def flow_accumulation(
     a weight raster — e.g. runoff/precipitation routing): each cell
     contributes its weight instead of 1. The weight plane rides the
     same per-tile join as the direction plane, so the plan shape (and
-    both planes-move-at-most-twice guarantees) is unchanged."""
-    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    both planes-move-at-most-twice guarantees) is unchanged. A tile
+    MISSING from a sparse weight raster contributes 0 per cell (the
+    same rule as NaN weights inside covered tiles), never the unit
+    cell-count fallback."""
+    if T >= 0xFFFF:
+        raise ValueError("tile size must stay below the 0xFFFF sentinel")
+    weighted = weight_tiles is not None
     base = dir_tiles.select("tile_x", "tile_y", "nrows", "ncols", "data")
     if weight_tiles is not None:
         wsel = weight_tiles.select(
@@ -270,7 +282,11 @@ def flow_accumulation(
     def _wplane(row, nr: int, nc: int) -> np.ndarray | None:
         w = getattr(row, "wdata", None)
         if w is None or (isinstance(w, float) and pd.isna(w)):
-            return None
+            # weighted mode: an uncovered tile means zero contribution,
+            # consistent with NaN weights in covered tiles — returning
+            # None here would silently flip those cells to cell-count
+            # (+1) semantics
+            return np.zeros((nr, nc)) if weighted else None
         return np.asarray(w, dtype=np.float64).reshape(nr, nc)
 
     def stage1(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -278,8 +294,9 @@ def flow_accumulation(
         nr, nc = int(row.nrows), int(row.ncols)
         d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
         tx, ty = int(key[0]), int(key[1])
-        acc0, _ = _solve_tile(d, np.zeros((nr, nc)), _wplane(row, nr, nc))
-        recv, out_mask, jj, ii = _receivers(d)
+        rcv = _receivers(d)
+        recv, out_mask, jj, ii = rcv
+        acc0 = _solve_tile(d, np.zeros((nr, nc)), _wplane(row, nr, nc), rcv=rcv)
         n = nr * nc
         valid = np.isfinite(d.ravel())
         # in-tile terminal of every cell (pointer jumping)
@@ -317,16 +334,12 @@ def flow_accumulation(
                 if term_is_exit[cell]
                 else int(gid[t[cell]])
             )
-            lj, li = int(jj[cell]), int(ii[cell])
-            jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
-            ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
-            for kj in jkeys:
-                for ki in ikeys:
-                    rows.append({
-                        "tile_x": tx, "tile_y": ty, "kind": "edge",
-                        "cellkey": int((kj << 16) | ki),
-                        "okey": None, "val": v, "flow": None,
-                    })
+            for ck in _alias_cellkeys(int(jj[cell]), int(ii[cell]), nr, nc):
+                rows.append({
+                    "tile_x": tx, "tile_y": ty, "kind": "edge",
+                    "cellkey": ck,
+                    "okey": None, "val": v, "flow": None,
+                })
         return pd.DataFrame(
             rows,
             columns=["tile_x", "tile_y", "kind", "cellkey", "okey",
@@ -348,7 +361,22 @@ def flow_accumulation(
     # exit-cell functional graph: okey -> succ exit (null = absorbed at
     # a pit in the destination tile). Inner join: a crossing always
     # lands on a VALID edge cell of an existing tile (D8 never points
-    # into nodata and never leaves the raster).
+    # into nodata and never leaves the raster). A link with NO matching
+    # edge row would be dropped by the inner join and its flow silently
+    # lost downstream, so verify the invariant loudly first (watershed /
+    # flow_length hit their paint guards on the same mismatch; this is
+    # their counterpart for the accumulation path). Cheap: an anti-join
+    # over the checkpointed border rows only.
+    n_orphans = (
+        links.join(edges, ["tile_x", "tile_y", "cellkey"], "left_anti")
+        .count()
+    )
+    if n_orphans:
+        raise RuntimeError(
+            f"flow_accumulation: {n_orphans} border crossings landed on "
+            "no edge row — wrap_nx mismatch between flow_direction and "
+            "flow_accumulation, or direction tiles pointing into nodata"
+        )
     state = (
         links.join(edges, ["tile_x", "tile_y", "cellkey"])
         .select(
@@ -430,7 +458,7 @@ def flow_accumulation(
                     tj = np.where(tj == 0xFFFF, nr - 1, tj)
                     ti = np.where(ti == 0xFFFF, nc - 1, ti)
                     np.add.at(inflow, tj * nc + ti, fl)
-                acc, _ = _solve_tile(
+                acc = _solve_tile(
                     d, inflow.reshape(nr, nc), _wplane(row, nr, nc)
                 )
                 out.append({
@@ -461,7 +489,6 @@ _WS_STAGE1_SCHEMA = (
 def watershed(
     dir_tiles: DataFrame,
     T: int,
-    spark: SparkSession,
     level: int = 0,
     wrap_nx: int | None = None,
     max_rounds: int = 64,
@@ -493,7 +520,8 @@ def watershed(
     gid < 2^53 (raster height < 2^21 rows); the internal pipeline is
     int64 throughout.
     """
-    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    if T >= 0xFFFF:
+        raise ValueError("tile size must stay below the 0xFFFF sentinel")
     dirs = dir_tiles.select(
         "tile_x", "tile_y", "nrows", "ncols", "data"
     ).localCheckpoint(eager=True)
@@ -529,24 +557,13 @@ def watershed(
         }]
         # links: one row per exit cell
         for cell in np.flatnonzero(out_mask):
-            dj, di = _CODE2OFF[int(d.ravel()[cell])]
-            tj, ti = jj[cell] + dj, ii[cell] + di
-            dty, dtx = 0, 0
-            if tj < 0:
-                dty, tj = -1, 0xFFFF
-            elif tj >= nr:
-                dty, tj = 1, tj - nr
-            if ti < 0:
-                dtx, ti = -1, 0xFFFF
-            elif ti >= nc:
-                dtx, ti = 1, ti - nc
-            ntx = tx + dtx
-            if wrap_nx is not None:
-                ntx %= wrap_nx
+            ntx, nty, cellkey = _border_dst(
+                tx, ty, nr, nc, jj, ii, cell, int(d.ravel()[cell]), wrap_nx
+            )
             rows.append({
-                "tile_x": ntx, "tile_y": ty + dty, "kind": "link",
+                "tile_x": ntx, "tile_y": nty, "kind": "link",
                 "nrows": None, "ncols": None, "plane": None,
-                "cellkey": int((int(tj) << 16) | int(ti)),
+                "cellkey": cellkey,
                 "okey": int(gid[cell]), "val": None,
             })
         # edge classifications (with sentinel aliases for last row/col)
@@ -556,17 +573,13 @@ def watershed(
         )
         for cell in edge_cells:
             v = int(gid[term[cell]]) if not term_is_exit[cell] else -(int(gid[term[cell]]) + 1)
-            lj, li = int(jj[cell]), int(ii[cell])
-            jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
-            ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
-            for kj in jkeys:
-                for ki in ikeys:
-                    rows.append({
-                        "tile_x": tx, "tile_y": ty, "kind": "edge",
-                        "nrows": None, "ncols": None, "plane": None,
-                        "cellkey": int((kj << 16) | ki),
-                        "okey": None, "val": v,
-                    })
+            for ck in _alias_cellkeys(int(jj[cell]), int(ii[cell]), nr, nc):
+                rows.append({
+                    "tile_x": tx, "tile_y": ty, "kind": "edge",
+                    "nrows": None, "ncols": None, "plane": None,
+                    "cellkey": ck,
+                    "okey": None, "val": v,
+                })
         return pd.DataFrame(
             rows,
             columns=["tile_x", "tile_y", "kind", "nrows", "ncols",
@@ -656,19 +669,12 @@ def watershed(
                         )
                     m_ok = np.array([p[0] for p in pairs], dtype=np.int64)
                     m_v = np.array([p[1] for p in pairs], dtype=np.int64)
-                    order = np.argsort(m_ok)
-                    m_ok, m_v = m_ok[order], m_v[order]
-                    want = -(plane[pend] + 1)
-                    pos = np.clip(np.searchsorted(m_ok, want), 0, len(m_ok) - 1)
-                    # every pending okey MUST resolve — a silent clip
-                    # mismatch would paint a wrong basin id (r3 VERDICT)
-                    if not (m_ok[pos] == want).all():
-                        missing = np.unique(want[m_ok[pos] != want])[:5]
-                        raise RuntimeError(
-                            "watershed paint: unresolved okeys in tile "
-                            f"({row.tile_x},{row.tile_y}): {missing}"
-                        )
-                    data[pend] = m_v[pos].astype(np.float64)
+                    (vv,) = _remap_pending(
+                        -(plane[pend] + 1), m_ok, [m_v],
+                        "watershed paint: tile "
+                        f"({row.tile_x},{row.tile_y})",
+                    )
+                    data[pend] = vv.astype(np.float64)
                 out.append({
                     "tile_x": row.tile_x, "tile_y": row.tile_y,
                     "level": level, "band": "watershed",
@@ -692,7 +698,6 @@ def strahler(
     dir_tiles: DataFrame,
     acc_tiles: DataFrame,
     T: int,
-    spark: SparkSession,
     threshold: float = 8.0,
     level: int = 0,
     wrap_nx: int | None = None,
@@ -733,9 +738,10 @@ def strahler(
 
     With ``wrap_nx`` the x axis is modular; global x wraps at
     ``wrap_nx * T``, so wrapped rasters must be x-regular (every tile
-    column T wide — asserted).
+    column T wide — enforced with a loud raise in the kernel).
     """
-    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    if T >= 0xFFFF:
+        raise ValueError("tile size must stay below the 0xFFFF sentinel")
     wrap_gw = None if wrap_nx is None else wrap_nx * T
 
     dirs = dir_tiles.select(
@@ -755,8 +761,15 @@ def strahler(
             outs = []
             for row in pdf.itertuples(index=False):
                 nr, nc = int(row.nrows), int(row.ncols)
-                if wrap_gw is not None:
-                    assert nc == T, "wrap_nx requires x-regular tiles"
+                if wrap_gw is not None and nc != T:
+                    # a bare assert would vanish under python -O and the
+                    # modular gx arithmetic below would then corrupt
+                    # succ gids silently on ragged wrapped rasters
+                    raise ValueError(
+                        "strahler: wrap_nx requires x-regular tiles "
+                        f"(ncols == T == {T}); tile ({row.tile_x},"
+                        f"{row.tile_y}) has ncols={nc}"
+                    )
                 d = np.asarray(row.data, dtype=np.float64).reshape(nr, nc)
                 a = np.asarray(row.acc_data, dtype=np.float64)
                 net = np.isfinite(a) & (a >= theta)
@@ -945,7 +958,6 @@ _DIAG_CODES = (2, 8, 32, 128)
 def flow_length(
     dir_tiles: DataFrame,
     T: int,
-    spark: SparkSession,
     level: int = 0,
     wrap_nx: int | None = None,
     max_rounds: int = 64,
@@ -987,7 +999,8 @@ def flow_length(
        payload (the watershed remap, incl. its loud unresolved-okey
        guard) and emits both bands.
     """
-    assert T < 0xFFFF, "tile size must stay below the 0xFFFF sentinel"
+    if T >= 0xFFFF:
+        raise ValueError("tile size must stay below the 0xFFFF sentinel")
     dirs = dir_tiles.select(
         "tile_x", "tile_y", "nrows", "ncols", "data"
     ).localCheckpoint(eager=True)
@@ -1052,19 +1065,15 @@ def flow_length(
                 if term_is_exit[cell]
                 else int(gid[term[cell]])
             )
-            lj, li = int(jj[cell]), int(ii[cell])
-            jkeys = {lj} | ({0xFFFF} if lj == nr - 1 else set())
-            ikeys = {li} | ({0xFFFF} if li == nc - 1 else set())
-            for kj in jkeys:
-                for ki in ikeys:
-                    rows.append({
-                        "tile_x": tx, "tile_y": ty, "kind": "edge",
-                        "nrows": None, "ncols": None, "plane": None,
-                        "pcard": None, "pdiag": None,
-                        "cellkey": int((kj << 16) | ki),
-                        "okey": None, "val": v,
-                        "dc": int(dc[cell]), "dd": int(dd[cell]),
-                    })
+            for ck in _alias_cellkeys(int(jj[cell]), int(ii[cell]), nr, nc):
+                rows.append({
+                    "tile_x": tx, "tile_y": ty, "kind": "edge",
+                    "nrows": None, "ncols": None, "plane": None,
+                    "pcard": None, "pdiag": None,
+                    "cellkey": ck,
+                    "okey": None, "val": v,
+                    "dc": int(dc[cell]), "dd": int(dd[cell]),
+                })
         return pd.DataFrame(
             rows,
             columns=["tile_x", "tile_y", "kind", "nrows", "ncols",
@@ -1180,18 +1189,13 @@ def flow_length(
                     m_ok = np.array([p[0] for p in pairs], dtype=np.int64)
                     m_dc = np.array([p[1] for p in pairs], dtype=np.int64)
                     m_dd = np.array([p[2] for p in pairs], dtype=np.int64)
-                    order = np.argsort(m_ok)
-                    m_ok, m_dc, m_dd = m_ok[order], m_dc[order], m_dd[order]
-                    want = -(plane[pend] + 1)
-                    pos = np.clip(np.searchsorted(m_ok, want), 0, len(m_ok) - 1)
-                    if not (m_ok[pos] == want).all():
-                        missing = np.unique(want[m_ok[pos] != want])[:5]
-                        raise RuntimeError(
-                            "flow_length paint: unresolved okeys in tile "
-                            f"({row.tile_x},{row.tile_y}): {missing}"
-                        )
-                    card[pend] = card[pend] + m_dc[pos]
-                    diagp[pend] = diagp[pend] + m_dd[pos]
+                    vdc, vdd = _remap_pending(
+                        -(plane[pend] + 1), m_ok, [m_dc, m_dd],
+                        "flow_length paint: tile "
+                        f"({row.tile_x},{row.tile_y})",
+                    )
+                    card[pend] = card[pend] + vdc
+                    diagp[pend] = diagp[pend] + vdd
                 for band, data in (
                     ("flowlen_card", card), ("flowlen_diag", diagp)
                 ):

@@ -669,7 +669,7 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
     )
     dir_tiles = flow.flow_direction(tiles, 16, level=10)
     acc_tiles = flow.flow_accumulation(
-        dir_tiles, 16, spark, level=10
+        dir_tiles, 16, level=10
     ).localCheckpoint(eager=True)
     # WEIGHTED accumulation (round 4, upstream runoff routing): each
     # cell contributes a small exact-integer weight, so the float
@@ -684,18 +684,18 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         fixtures.TILES_SCHEMA_DDL,
     )
     accw_tiles = flow.flow_accumulation(
-        dir_tiles, 16, spark, level=10,
+        dir_tiles, 16, level=10,
         weight_tiles=w_tiles, band="flowaccw",
     )
     # Strahler stream order over the acc >= 8 network (round 4): orders
     # are small exact integers, so the micro-unit tile sum is exact
     strahler_tiles = flow.strahler(
-        dir_tiles, acc_tiles, 16, spark, threshold=8.0, level=10
+        dir_tiles, acc_tiles, 16, threshold=8.0, level=10
     )
     # watershed ids are pit global indices (gy<<32|gx) — too large for
     # the micro-unit integer sum, so its summary is the DISTINCT BASIN
     # COUNT per tile instead (exact integers in both engines)
-    ws_tiles = flow.watershed(dir_tiles, 16, spark, level=10)
+    ws_tiles = flow.watershed(dir_tiles, 16, level=10)
     ws_valid = F.filter("data", lambda x: x.isNotNull() & ~F.isnan(x))
     ws_rows = ws_tiles.select(
         "tile_x",
@@ -721,7 +721,7 @@ def sq_terrain(spark: SparkSession, sf: str) -> DataFrame:
         pit_tiles, 16, cap=16, level=10
     ).localCheckpoint(eager=True)
     facc_tiles = flow.flow_accumulation(
-        flow.flow_direction(fill_tiles, 16, level=10), 16, spark, level=10
+        flow.flow_direction(fill_tiles, 16, level=10), 16, level=10
     ).withColumn("band", F.lit("fillacc"))
     return _tile_summary_quantized(
         out.unionByName(dir_tiles)
@@ -2164,7 +2164,7 @@ def sq_flowlen(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_shipped(spark)
     dirs = flow.flow_direction(_dem_tiles(spark), 16, level=10)
-    return _tile_summary_quantized(flow.flow_length(dirs, 16, spark, level=10))
+    return _tile_summary_quantized(flow.flow_length(dirs, 16, level=10))
 
 
 # D8 mirror on the arith DEM (same pinned codes/tie rule as the

@@ -144,7 +144,7 @@ def test_fill_then_flow_pipeline(spark):
     ).localCheckpoint(eager=True)
     dir_tiles = flow.flow_direction(filled_tiles, 16)
     acc = _plane(
-        flow.flow_accumulation(dir_tiles, 16, spark), 16, 48, 48
+        flow.flow_accumulation(dir_tiles, 16), 16, 48, 48
     )
     want = brute_acc(brute_d8(fill.priority_flood(arr, eps=1e-6)))
     np.testing.assert_array_equal(acc, want)

@@ -5,6 +5,7 @@ multi-tile (cross-border flow paths), and pit/nodata handling."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from engine import fixtures, flow
 
@@ -83,7 +84,7 @@ def test_flow_accumulation_distributed(spark):
     got_dirs = _acc_from_tiles(dir_tiles, 16, 64, 64)
     np.testing.assert_allclose(got_dirs, dirs_whole, equal_nan=True)
 
-    acc = flow.flow_accumulation(dir_tiles, 16, spark)
+    acc = flow.flow_accumulation(dir_tiles, 16)
     got = _acc_from_tiles(acc, 16, 64, 64)
     want = brute_acc(dirs_whole)
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -100,7 +101,7 @@ def test_flow_accumulation_single_ramp(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 8)
-    acc = flow.flow_accumulation(dir_tiles, 8, spark)
+    acc = flow.flow_accumulation(dir_tiles, 8)
     got = _acc_from_tiles(acc, 8, 8, 8)
     want = brute_acc(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -117,7 +118,7 @@ def test_flow_accumulation_long_chain(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 16)
     got = _acc_from_tiles(
-        flow.flow_accumulation(dir_tiles, 16, spark), 16, 16, 128
+        flow.flow_accumulation(dir_tiles, 16), 16, 16, 128
     )
     want = brute_acc(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -142,7 +143,7 @@ def test_flow_accumulation_long_chain_plan_shape(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 8)
     stats: dict = {}
-    acc = flow.flow_accumulation(dir_tiles, 8, spark, stats=stats)
+    acc = flow.flow_accumulation(dir_tiles, 8, stats=stats)
     plan = acc._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert plan.count("MapInPandas") == 1
     assert plan.count("FlatMapGroupsInPandas") == 0
@@ -206,7 +207,7 @@ def test_flow_accumulation_wrap(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 8, wrap_nx=4)
-    acc = flow.flow_accumulation(dir_tiles, 8, spark, wrap_nx=4)
+    acc = flow.flow_accumulation(dir_tiles, 8, wrap_nx=4)
     got = _acc_from_tiles(acc, 8, 8, 32)
     dirs_w = brute_d8_wrap(arr)
     want = brute_acc_wrap(dirs_w)
@@ -215,6 +216,49 @@ def test_flow_accumulation_wrap(spark):
     assert int(dirs_w[0, 0]) == 16
     # and differs from the unwrapped world
     assert not np.allclose(want, brute_acc(flow.flow_direction_kernel(arr)))
+
+
+def test_flow_accumulation_wrap_mismatch_is_loud(spark):
+    """Directions computed WITH wrap but accumulated WITHOUT it orphan
+    the seam-crossing links (their destination tile_x=-1 has no edge
+    rows). That must raise, never silently under-accumulate."""
+    arr = np.tile(np.arange(32, 0, -1, dtype=np.float64), (8, 1))
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 8, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 8, wrap_nx=4)
+    with pytest.raises(RuntimeError, match="border crossings"):
+        flow.flow_accumulation(dir_tiles, 8)  # wrap_nx forgotten
+
+
+def test_flow_accumulation_sparse_weights(spark):
+    """A tile entirely MISSING from weight_tiles contributes 0 per cell
+    (the same rule as NaN weights inside covered tiles) — never the
+    unit cell-count fallback, which would silently mix weighted and
+    count semantics."""
+    arr = fixtures.dem_arith(size=64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    warr = ((xx * 7 + yy * 3) % 5 + 1).astype(np.float64)
+    # cover only the left half of the tile grid with weight tiles
+    w_pdf = fixtures.tiles_rows_from_array(warr, 16, band="w")
+    w_tiles = spark.createDataFrame(
+        w_pdf[w_pdf.tile_x < 2], fixtures.TILES_SCHEMA_DDL
+    )
+    dirs_whole = flow.flow_direction_kernel(arr)
+    weff = np.where(xx < 32, warr, 0.0)  # uncovered tiles weigh 0
+    acc_ref = flow._solve_tile(dirs_whole, np.zeros_like(arr), weff)
+    acc_ref = np.where(np.isfinite(dirs_whole.ravel()), acc_ref, np.nan)
+    tiles = spark.createDataFrame(
+        fixtures.tiles_rows_from_array(arr, 16, band="z"),
+        fixtures.TILES_SCHEMA_DDL,
+    )
+    dir_tiles = flow.flow_direction(tiles, 16)
+    got = _acc_from_tiles(
+        flow.flow_accumulation(dir_tiles, 16, weight_tiles=w_tiles),
+        16, 64, 64,
+    )
+    np.testing.assert_allclose(got, acc_ref.reshape(64, 64), equal_nan=True)
 
 
 def test_flow_accumulation_ragged_tiles(spark):
@@ -228,7 +272,7 @@ def test_flow_accumulation_ragged_tiles(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 16)
     got = _acc_from_tiles(
-        flow.flow_accumulation(dir_tiles, 16, spark), 16, 20, 40
+        flow.flow_accumulation(dir_tiles, 16), 16, 20, 40
     )
     want = brute_acc(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -261,7 +305,7 @@ def test_watershed_distributed(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    got = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 64, 64)
+    got = _acc_from_tiles(flow.watershed(dir_tiles, 16), 16, 64, 64)
     want = brute_watershed(dirs_whole)
     np.testing.assert_allclose(got, want, equal_nan=True)
     # more than one basin, and at least one spans multiple tiles
@@ -282,7 +326,7 @@ def test_watershed_ragged(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    got = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 20, 40)
+    got = _acc_from_tiles(flow.watershed(dir_tiles, 16), 16, 20, 40)
     want = brute_watershed(flow.flow_direction_kernel(arr))
     np.testing.assert_allclose(got, want, equal_nan=True)
 
@@ -304,8 +348,8 @@ def test_flow_and_watershed_scale_256(spark):
     dirs_whole = flow.flow_direction_kernel(arr)
 
     # whole-array references via the per-tile solver on ONE big tile
-    acc_ref, emits = flow._solve_tile(dirs_whole, np.zeros_like(arr))
-    assert not emits  # nothing leaves the raster
+    assert not flow._receivers(dirs_whole)[1].any()  # nothing leaves the raster
+    acc_ref = flow._solve_tile(dirs_whole, np.zeros_like(arr))
     acc_ref = np.where(np.isfinite(dirs_whole.ravel()), acc_ref, np.nan)
 
     tiles = spark.createDataFrame(
@@ -314,11 +358,11 @@ def test_flow_and_watershed_scale_256(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 16)
     got_acc = _acc_from_tiles(
-        flow.flow_accumulation(dir_tiles, 16, spark), 16, 256, 256
+        flow.flow_accumulation(dir_tiles, 16), 16, 256, 256
     )
     np.testing.assert_allclose(got_acc.ravel(), acc_ref, equal_nan=True)
 
-    got_ws = _acc_from_tiles(flow.watershed(dir_tiles, 16, spark), 16, 256, 256)
+    got_ws = _acc_from_tiles(flow.watershed(dir_tiles, 16), 16, 256, 256)
     want_ws = brute_watershed(dirs_whole)
     np.testing.assert_allclose(got_ws, want_ws, equal_nan=True)
 
@@ -379,9 +423,9 @@ def test_strahler_junction_rules(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark)
+    acc_tiles = flow.flow_accumulation(dir_tiles, 16)
     got = _acc_from_tiles(
-        flow.strahler(dir_tiles, acc_tiles, 16, spark, threshold=1.0),
+        flow.strahler(dir_tiles, acc_tiles, 16, threshold=1.0),
         16, 16, 16,
     )
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -401,9 +445,9 @@ def test_strahler_distributed_multitile(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark)
+    acc_tiles = flow.flow_accumulation(dir_tiles, 16)
     got = _acc_from_tiles(
-        flow.strahler(dir_tiles, acc_tiles, 16, spark, threshold=8.0),
+        flow.strahler(dir_tiles, acc_tiles, 16, threshold=8.0),
         16, 64, 64,
     )
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -425,9 +469,9 @@ def test_strahler_ragged(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    acc_tiles = flow.flow_accumulation(dir_tiles, 16, spark)
+    acc_tiles = flow.flow_accumulation(dir_tiles, 16)
     got = _acc_from_tiles(
-        flow.strahler(dir_tiles, acc_tiles, 16, spark, threshold=4.0),
+        flow.strahler(dir_tiles, acc_tiles, 16, threshold=4.0),
         16, 20, 40,
     )
     np.testing.assert_allclose(got, want, equal_nan=True)
@@ -441,10 +485,8 @@ def test_weighted_accumulation_matches_whole_array(spark):
     yy, xx = np.mgrid[0:64, 0:64]
     warr = ((xx * 7 + yy * 3) % 5 + 1).astype(np.float64)
     dirs_whole = flow.flow_direction_kernel(arr)
-    acc_ref, emits = flow._solve_tile(
-        dirs_whole, np.zeros_like(arr), warr
-    )
-    assert not emits
+    assert not flow._receivers(dirs_whole)[1].any()
+    acc_ref = flow._solve_tile(dirs_whole, np.zeros_like(arr), warr)
     acc_ref = np.where(np.isfinite(dirs_whole.ravel()), acc_ref, np.nan)
 
     tiles = spark.createDataFrame(
@@ -457,7 +499,7 @@ def test_weighted_accumulation_matches_whole_array(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 16)
     out = flow.flow_accumulation(
-        dir_tiles, 16, spark, weight_tiles=w_tiles, band="flowaccw"
+        dir_tiles, 16, weight_tiles=w_tiles, band="flowaccw"
     )
     assert out.select("band").distinct().collect()[0].band == "flowaccw"
     got = _acc_from_tiles(out, 16, 64, 64)
@@ -501,7 +543,7 @@ def test_flow_length_distributed(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    out = flow.flow_length(dir_tiles, 16, spark)
+    out = flow.flow_length(dir_tiles, 16)
     got_c = _acc_from_tiles(
         out.filter(out.band == "flowlen_card"), 16, 64, 64
     )
@@ -524,7 +566,7 @@ def test_flow_length_ragged(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 16)
-    out = flow.flow_length(dir_tiles, 16, spark)
+    out = flow.flow_length(dir_tiles, 16)
     got_c = _acc_from_tiles(
         out.filter(out.band == "flowlen_card"), 16, 20, 40
     )
@@ -553,7 +595,7 @@ def test_flow_length_long_chain_plan_shape(spark):
     )
     dir_tiles = flow.flow_direction(tiles, 8)
     stats: dict = {}
-    out = flow.flow_length(dir_tiles, 8, spark, stats=stats)
+    out = flow.flow_length(dir_tiles, 8, stats=stats)
     plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert plan.count("MapInPandas") == 1
     assert plan.count("FlatMapGroupsInPandas") == 0
@@ -602,7 +644,7 @@ def test_flow_length_wrap(spark):
         fixtures.TILES_SCHEMA_DDL,
     )
     dir_tiles = flow.flow_direction(tiles, 8, wrap_nx=4)
-    out = flow.flow_length(dir_tiles, 8, spark, wrap_nx=4)
+    out = flow.flow_length(dir_tiles, 8, wrap_nx=4)
     got_c = _acc_from_tiles(out.filter(out.band == "flowlen_card"), 8, 8, 32)
     got_d = _acc_from_tiles(out.filter(out.band == "flowlen_diag"), 8, 8, 32)
     dirs_w = brute_d8_wrap(arr)
