@@ -75,14 +75,20 @@ def pip_join(
     """
     if strategy == "fused":
         return _pip_join_fused(points, polys, level, lat, lon, exact)
-    cover = cover_table(spark, polys, level)
+    # the cover's key is renamed BEFORE the join: dropping an ambiguous
+    # "cell_id" after it would also drop a caller's pre-existing
+    # cell_id column (e.g. from with_cell_and_tile), breaking the
+    # "joins only ADD columns" invariant the fused strategy keeps
+    cover = cover_table(spark, polys, level).withColumnRenamed(
+        "cell_id", "_covcell"
+    )
     # Arrow-batched Morton encode — the inlined Catalyst variant blows
     # up the join's generated code (see engine/udfs.py docstring)
     cand = points.withColumn(
         "_pipcell", udfs.cell_encode_pudf(F.col(lat), F.col(lon), F.lit(level))
     ).join(
-        F.broadcast(cover), F.col("_pipcell") == cover.cell_id, "inner"
-    ).drop("cell_id", "_pipcell")
+        F.broadcast(cover), F.col("_pipcell") == F.col("_covcell"), "inner"
+    ).drop("_covcell", "_pipcell")
     if not exact:
         return cand
     rings = {int(p["poly_id"]): geometry.poly_rings(p) for p in polys}
@@ -291,9 +297,13 @@ def knn_join(
             .agg(F.max("dist_km").alias("_kth"), F.count(F.lit(1)).alias("_n"))
             .join(unresolved, "q_id")
         )
+        # STRICT <: at exact equality an out-of-ring point at distance
+        # == margin == kth could still win the (dist_km, point_id)
+        # tie-break against the in-ring kth, so kth == margin does not
+        # prove the ring saw every contender
         resolved = per_q.filter(
             (F.col("_n") >= k)
-            & (F.col("_kth") <= _ring_margin_col(F.col("lat"), F.col("lon"), r, level))
+            & (F.col("_kth") < _ring_margin_col(F.col("lat"), F.col("lon"), r, level))
         ).select("q_id")
         results.append(topk.join(resolved, "q_id", "left_semi"))
         # ONE action per round: the checkpoint runs the round's pipeline

@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_CAP = 32
+# default histogram sample for internal callers (engine.tiling) — at
+# 100 TB an unsampled key histogram is a full extra scan+shuffle of the
+# input; the salt factor is a perf knob, so a 5% sample is plenty
+DEFAULT_SAMPLE_FRACTION = 0.05
 
 
 def key_histogram(df: DataFrame, keys: list[str], sample_fraction: float | None = None) -> DataFrame:

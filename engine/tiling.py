@@ -3,19 +3,26 @@ per-tile focal apply (W1–W10) — SURVEY.md §2.5/§2.6/§3.2-E1.
 
 Scale design notes (the part the 100 TB grade hangs on):
 
-- **Rasterize** offers two physical strategies with identical results
-  (asserted by t4 tests):
-  * ``strategy="agg"`` (default): a JVM cell-level
+- **Rasterize** offers three physical strategies with identical
+  results (asserted by t4 tests):
+  * ``strategy="packed"`` (default): map-side partial rasterize — one
+    ``mapInPandas`` pass accumulates each input partition's points
+    into per-tile sparse partials (packed int32 index + float64 value
+    bytes) and ONE exchange on the tile key merges them into dense
+    tiles. The packed-binary single shuffle replaced the agg
+    strategy's two per-cell-row shuffles (the r2→r3 pipeline-scaling
+    fix: the rasterize exchange was memory-bandwidth-bound).
+  * ``strategy="agg"``: a JVM cell-level
     ``groupBy(tile, tj, ti).agg(...)`` — Spark plans partial_agg →
     shuffle → final_agg, so the map-side combine collapses hot tiles
-    BEFORE the shuffle (the best skew killer when the value fits an
+    BEFORE the shuffle (a fine skew killer when the value fits an
     algebraic agg), then one ``applyInPandas`` assembles each tile's
     pixel rows into the dense array. Only aggregated pixel rows cross
     the wire.
   * ``strategy="salted"``: the explicit two-phase salted repartition
     demanded by BASELINE.json:6 — phase 1 groups by (tile, salt) and
     rasterizes partial dense grids in NumPy, phase 2 merges partials
-    per tile. Salt count is chosen from an observed key histogram
+    per tile. Salt count is chosen from a SAMPLED key histogram
     (engine.skew.choose_salt). Wins when the per-pixel agg is not
     algebraic or pixel-row cardinality ~ point cardinality.
 
@@ -79,7 +86,7 @@ KERNELS = {
 # ---------------------------------------------------------------------------
 
 def _assemble_tile(
-    T: int, level: int, band: str, nx_tiles: int | None, ny_tiles: int | None,
+    T: int, level: int, band: str,
     key, pdf: pd.DataFrame,
 ) -> pd.DataFrame:
     """Dense grid from aggregated pixel rows of one tile."""
@@ -194,9 +201,14 @@ def rasterize(
     the rasterize exchange was memory-bandwidth-bound).
     """
     band = band or stat
+    # validate up front for EVERY strategy: the packed/salted merge
+    # kernels fall through to their mean branch on an unknown stat and
+    # would return silently-zero rasters where agg raises
+    if stat not in ("count", "sum", "mean"):
+        raise ValueError(f"unknown stat: {stat!r} (count|sum|mean)")
+    if stat in ("sum", "mean") and value_col is None:
+        raise ValueError(f"stat {stat} needs value_col")
     if strategy == "packed":
-        if stat in ("sum", "mean") and value_col is None:
-            raise ValueError(f"stat {stat} needs value_col")
         vc = value_col if stat in ("sum", "mean") else None
         # explicit projection: mapInPandas is a black box to Catalyst,
         # so without this the FULL point row (spans and all) crosses
@@ -258,12 +270,19 @@ def rasterize(
             .agg(agg.alias("val"))
         )
         return pix.groupBy("tile_x", "tile_y").applyInPandas(
-            partial(_assemble_tile, T, level, band, None, None), TILES_SCHEMA
+            partial(_assemble_tile, T, level, band), TILES_SCHEMA
         )
     if strategy == "salted":
-        from engine.skew import choose_salt
+        from engine.skew import DEFAULT_SAMPLE_FRACTION, choose_salt
 
-        S = n_salts or choose_salt(points, ["tile_x", "tile_y"])
+        # sampled histogram: S is a perf knob (results are S-invariant,
+        # asserted by the t4 equality test), so an unsampled full
+        # groupBy-count pre-pass over the big table would cost as much
+        # as the rasterize it tunes at 100 TB
+        S = n_salts or choose_salt(
+            points, ["tile_x", "tile_y"],
+            sample_fraction=DEFAULT_SAMPLE_FRACTION,
+        )
         # deterministic salt: hash of pixel coords spreads a hot tile's
         # points over S groups while keeping a pixel's points together
         salted = points.withColumn(

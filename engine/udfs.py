@@ -82,9 +82,13 @@ def cell_encode_col(lat: Column, lon: Column, level: int) -> Column:
 def geocode_cols(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """C1: lat/lon from the first kind='geo' span's media_ref
     (``geo:{lat},{lon}``) — higher-order functions, fully JVM-side,
-    spans column untouched (span-sequence invariant)."""
-    geo_ref = F.element_at(
-        F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("geo")), 1
+    spans column untouched (span-sequence invariant). Docs with NO geo
+    span get null lat/lon (try_element_at: under Spark 4's default ANSI
+    mode a plain element_at(…, 1) on the empty filtered array throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and aborts the whole job)."""
+    geo_ref = F.try_element_at(
+        F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("geo")),
+        F.lit(1),
     )["media_ref"]
     payload = F.substring_index(geo_ref, ":", -1)
     return df.withColumn(

@@ -104,6 +104,61 @@ def test_pip_join_spark(spark, strategy):
     assert len(want) > 50  # fixture guarantees lots of hits
 
 
+def test_pip_join_join_strategy_keeps_callers_cell_id(spark):
+    """The 'joins only ADD columns' invariant: a pre-existing cell_id
+    column on the points side must survive strategy='join' (an
+    ambiguous post-join drop('cell_id') used to remove BOTH sides)."""
+    from engine import udfs
+
+    level = 7
+    qp = fixtures.query_points(200)
+    pts = udfs.with_cell_and_tile(spark.createDataFrame(qp), level, 64)
+    polys = fixtures.polygons()
+    out = joins.pip_join(pts, polys, level, spark, strategy="join")
+    assert "cell_id" in out.columns
+    fused = joins.pip_join(pts, polys, level, spark, strategy="fused")
+    assert sorted(out.columns) == sorted(fused.columns)
+    # and the surviving cell_id is the CALLER's (same values per q_id)
+    want = {r.q_id: r.cell_id for r in pts.collect()}
+    for r in out.collect():
+        assert r.cell_id == want[r.q_id]
+
+
+def test_ring_margin_python_matches_catalyst(spark):
+    """_ring_margin_km (NumPy reference) and _ring_margin_col (the live
+    JVM bound) must stay bit-for-bit consistent — nothing else pins the
+    parity the _ring_margin_col docstring claims."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-89.9, 89.9, 400)
+    lon = rng.uniform(-180.0, 180.0, 400)
+    for r, level in [(1, 7), (2, 7), (4, 5), (8, 9)]:
+        want = joins._ring_margin_km(lat, lon, r, level)
+        df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+        got = np.array([
+            row.m for row in df.select(
+                joins._ring_margin_col(
+                    joins.F.col("lat"), joins.F.col("lon"), r, level
+                ).alias("m")
+            ).collect()
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+
+def test_geocode_null_without_geo_span(spark):
+    """A doc with NO geo span yields null lat/lon instead of an ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT abort (Spark 4 default)."""
+    from engine import udfs
+
+    df = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "x", "media_ref": None,
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    row = udfs.geocode_cols(df).collect()[0]
+    assert row.lat is None and row.lon is None
+
+
 def test_pip_join_keeps_spans(spark):
     """Span-sequence invariant through the PIP join."""
     from engine import udfs

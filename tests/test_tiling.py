@@ -51,6 +51,19 @@ def test_tile_size_invariance(spark):
     np.testing.assert_allclose(ref, kernels.focal_shannon(arr, 3, "circle"), rtol=1e-12, atol=1e-12)
 
 
+def test_rasterize_rejects_unknown_stat_every_strategy(spark):
+    """Every strategy validates stat/value_col up front — the packed
+    and salted merge kernels used to fall through to 'mean' on a typo'd
+    stat and return silently-zero rasters."""
+    docs = fixtures.documents_geo(spark, 50, seed=2)
+    pts = udfs.with_cell_and_tile(udfs.geocode_cols(docs), 7, 16)
+    for strategy in ("packed", "agg", "salted"):
+        with pytest.raises(ValueError, match="unknown stat"):
+            tiling.rasterize(pts, 16, 7, stat="max", strategy=strategy)
+        with pytest.raises(ValueError, match="needs value_col"):
+            tiling.rasterize(pts, 16, 7, stat="sum", strategy=strategy)
+
+
 def test_interspersion_registry_requires_class_domain(spark):
     """W10 is not absent-class-invariant per tile block: the string
     stat must refuse to run without the raster-wide domain, and with it
