@@ -130,6 +130,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt != 1 or bits != 16:
                 raise ValueError("only PCM16 WAV is supported")
+            if channels != 1:
+                # the pinned feature semantics (n_frames = len(samples),
+                # mean over the sample vector) are mono-only; accepting
+                # interleaved stereo here would silently double n_frames
+                # and average L/R — loud failure, never silent zeros
+                raise ValueError(
+                    f"only mono WAV is supported (got {channels} channels)"
+                )
         elif tag == b"data":
             data = body
         pos += 8 + size + (size % 2)

@@ -38,28 +38,62 @@ class PipelineConfig:
         self.r = r
         self.shape = shape
         self.stats = stats or ["mean"]
+        if wrap and (2**level) % tile_size:
+            # a partial last tile column breaks the modular halo wrap
+            # (tile_x would alias the wrong neighbor across the seam)
+            raise ValueError(
+                f"wrap=True requires tile_size | 2**level "
+                f"(got level={level}, tile_size={tile_size})"
+            )
         self.wrap_nx = (2**level) // tile_size if wrap else None
 
-    def params(self) -> dict:
+    def grid_params(self) -> dict:
+        """Lineage for the geocode/rasterize stages — ONLY the params
+        those stages consume, so changing the focal radius does not
+        needlessly invalidate and recompute them."""
+        return {"level": self.level, "tile_size": self.tile_size}
+
+    def focal_params(self) -> dict:
+        """Lineage for the stats stage: grid params + every focal
+        knob INCLUDING wrap_nx — omitting it let a wrap=False rerun
+        silently serve wrap=True results from the WAL."""
         return {
-            "level": self.level,
-            "tile_size": self.tile_size,
+            **self.grid_params(),
             "r": self.r,
             "shape": self.shape,
             "stats": self.stats,
+            "wrap_nx": self.wrap_nx,
         }
 
 
 def run_pipeline(
-    spark: SparkSession, docs: DataFrame, cfg: PipelineConfig
+    spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
+    input_id: str | None = None,
 ) -> dict[str, dict]:
     """docs: interleaved documents (doc_id, spans, part_id). Returns
-    {stage: snapshot} after committing every stage."""
+    {stage: snapshot} after committing every stage.
+
+    ``input_id``: identity of the input docs for the ingest stage's
+    WAL lineage. Callers with a known upstream identity (a snapshot
+    content_hash, a source-table version) should pass it; otherwise a
+    cheap order-insensitive fingerprint (count + bit_xor of doc_id
+    hashes — overflow-free under ANSI, one map-side-combinable agg
+    pass) is derived — with a CONSTANT tag here, rerunning at the same
+    root with different documents would WAL-skip every partition and
+    silently return the old data."""
     snaps: dict[str, dict] = {}
+
+    if input_id is None:
+        fp = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+        ).first()
+        input_id = f"docs:{fp.n}:{fp.h}"
 
     ingest_tbl = LakeTable(cfg.root, "documents")
     snaps["ingest"] = ingest_tbl.write_stage(
-        spark, docs, "part_id", "ingest", {"inputs": ["source"], "params": {}}
+        spark, docs, "part_id", "ingest",
+        {"inputs": [input_id], "params": {}},
     )
 
     docs_r = ingest_tbl.read(spark)
@@ -72,7 +106,7 @@ def run_pipeline(
         pts,
         "part_id",
         "points",
-        {"inputs": [f"documents#{snaps['ingest']['content_hash']}"], "params": cfg.params()},
+        {"inputs": [f"documents#{snaps['ingest']['content_hash']}"], "params": cfg.grid_params()},
     )
 
     pts_r = points_tbl.read(spark)
@@ -87,7 +121,7 @@ def run_pipeline(
         tiles,
         "bucket",
         "tiles",
-        {"inputs": [f"points#{snaps['points']['content_hash']}"], "params": cfg.params()},
+        {"inputs": [f"points#{snaps['points']['content_hash']}"], "params": cfg.grid_params()},
     )
 
     tiles_r = tiles_tbl.read(spark).drop("bucket")
@@ -101,6 +135,6 @@ def run_pipeline(
         stats,
         "bucket",
         "stats",
-        {"inputs": [f"tiles#{snaps['tiles']['content_hash']}"], "params": cfg.params()},
+        {"inputs": [f"tiles#{snaps['tiles']['content_hash']}"], "params": cfg.focal_params()},
     )
     return snaps

@@ -48,9 +48,16 @@ def parse_ascii_grid(text: str) -> tuple[np.ndarray, dict]:
     if missing:
         raise ValueError(f"ascii grid header missing {missing}")
     nrows, ncols = int(hdr["nrows"]), int(hdr["ncols"])
-    arr = np.loadtxt(lines[body_start:], dtype=np.float64, ndmin=2)
-    if arr.shape != (nrows, ncols):
-        raise ValueError(f"ascii grid body {arr.shape} != header ({nrows}, {ncols})")
+    # parse the FLAT token stream, not line-by-line: the ESRI format
+    # permits arbitrary line wrapping of body values (GRASS wraps at 80
+    # chars), so a row need not be one line
+    tokens = " ".join(lines[body_start:]).split()
+    if len(tokens) != nrows * ncols:
+        raise ValueError(
+            f"ascii grid body has {len(tokens)} values != header "
+            f"({nrows} x {ncols})"
+        )
+    arr = np.asarray(tokens, dtype=np.float64).reshape(nrows, ncols)
     if "nodata_value" in hdr:
         arr[arr == hdr["nodata_value"]] = np.nan
     return arr, hdr
@@ -73,7 +80,10 @@ def format_ascii_grid(
         f"nodata_value {nodata_value!r}",
     ]
     body = np.where(np.isfinite(arr), arr, nodata_value)
-    out.extend(" ".join(repr(v) for v in row) for row in body)
+    # repr(float(v)), not repr(v): numpy >= 2.0 reprs scalars as
+    # 'np.float64(...)', which would corrupt the file; Python float
+    # repr is the same shortest-roundtrip text on every numpy
+    out.extend(" ".join(repr(float(v)) for v in row) for row in body)
     return "\n".join(out) + "\n"
 
 
@@ -101,6 +111,18 @@ def write_ascii_grid(
     pdf = tiles.toPandas() if band is None else (
         tiles.filter(F.col("band") == band).toPandas()
     )
+    # loud single-band contract: multi-band rows share tile keys and
+    # would silently overwrite each other in the assembled array
+    if "band" in pdf.columns and pdf["band"].nunique() > 1:
+        raise ValueError(
+            "write_ascii_grid needs a single band; got "
+            f"{sorted(pdf['band'].unique())} — pass band=..."
+        )
+    if pdf.duplicated(["tile_x", "tile_y"]).any():
+        raise ValueError(
+            "write_ascii_grid: duplicate tile keys in input "
+            "(multi-level tiles? filter to one level first)"
+        )
     arr = fixtures.array_from_tiles_rows(pdf, tile_size)
     with open(path, "w") as f:
         f.write(format_ascii_grid(arr, nodata_value=nodata_value))

@@ -15,12 +15,64 @@ plan and the batch plan share all operator code by construction.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine import fixtures, udfs
+
+
+# --- versioned IVM state (exactly-once foreachBatch, see
+# incremental_focal's docstring) -------------------------------------------
+
+def _ivm_latest(state_path: str) -> int | None:
+    try:
+        with open(os.path.join(state_path, "LATEST")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _ivm_manifest(state_path: str, bid: int) -> dict[str, int]:
+    with open(os.path.join(state_path, "MANIFEST", f"{bid}.json")) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def _ivm_state_df(
+    spark: SparkSession, state_path: str, manifest: dict[str, int]
+) -> DataFrame | None:
+    """Current count raster from the versioned layout: each tile's row
+    comes from the version dir its manifest entry names (one read per
+    distinct version, tiny broadcast manifest join)."""
+    if not manifest:
+        return None
+    allst = None
+    for v in sorted(set(manifest.values())):
+        df = spark.read.parquet(
+            os.path.join(state_path, f"v{v}")
+        ).withColumn("_v", F.lit(v))
+        allst = df if allst is None else allst.unionByName(df)
+    mf = spark.createDataFrame(
+        [
+            (int(k.split(",")[0]), int(k.split(",")[1]), v)
+            for k, v in manifest.items()
+        ],
+        "tile_x int, tile_y int, _v int",
+    )
+    return allst.join(F.broadcast(mf), ["tile_x", "tile_y", "_v"]).drop("_v")
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The committed count-raster state of an incremental_focal run
+    (None before the first committed batch)."""
+    last = _ivm_latest(state_path)
+    if last is None:
+        return None
+    return _ivm_state_df(spark, state_path, _ivm_manifest(state_path, last))
 
 
 def read_documents_stream(
@@ -164,27 +216,49 @@ def incremental_focal(
     1. the batch's points rasterize to per-tile DELTA count tiles (the
        same packed A2 operator as batch);
     2. delta tiles merge NaN-aware into the persisted per-tile count
-       state (parquet partitioned by tile key; dynamic partition
-       overwrite touches ONLY updated tiles);
+       state;
     3. the DIRTY set = updated tiles ∪ their 8-neighbor ring (a focal
        window reaches r <= T cells into a neighbor, so a tile's stats
-       change iff a tile in its ring changed) — derived as a JVM
-       explode, never a driver collect;
+       change iff a tile in its ring changed — enforced by an r <= T
+       check at entry);
     4. batch ``apply_focal`` runs over dirty ∪ ring(dirty) input tiles
        only, and only dirty tiles' outputs upsert into the result
        table.
 
+    Exactly-once state (r5 fix — the additive merge is NOT idempotent,
+    so a foreachBatch replay after a crash used to double-count the
+    replayed batch): state lives in per-batch VERSION dirs
+    ``state/v<batch_id>`` + an atomic manifest (tile -> version) and a
+    LATEST pointer written as the LAST step of the batch — the
+    lakehouse snapshot pattern in miniature. A replayed batch_id <=
+    LATEST is skipped outright; a crash anywhere mid-batch leaves
+    LATEST on the previous batch, and the replay deterministically
+    rewrites the same v-dir/manifest/output. The manifest (one entry
+    per EVER-touched tile) is driver-side state, bounded by the tile
+    grid; long-running deployments should fold old versions
+    periodically (the lakehouse compact() pattern).
+
     Incremental cost per trigger is O(|dirty| · T²) regardless of the
     accumulated raster size — the point of the exercise; correctness =
-    streaming-equals-batch (tests/test_streaming.py), byte-identical
-    because the final state feeds the identical batch kernels.
+    streaming-equals-batch AND replay-equals-once
+    (tests/test_streaming.py), byte-identical because the final state
+    feeds the identical batch kernels.
 
     Returns a (start() -> StreamingQuery) thunk plus the state/result
-    paths; results live at ``<work_dir>/focal`` (TILES_SCHEMA rows).
+    paths; results live at ``<work_dir>/focal`` (TILES_SCHEMA rows);
+    ``read_state(spark, state_path)`` reconstructs the current count
+    raster from the versioned layout.
     """
     import os
 
     from engine import tiling
+
+    if r > T:
+        raise ValueError(
+            f"incremental_focal requires r <= T (got r={r}, T={T}): the "
+            "one-tile dirty ring only covers windows reaching one "
+            "neighbor deep"
+        )
 
     state_path = os.path.join(work_dir, "state")
     out_path = os.path.join(work_dir, "focal")
@@ -226,6 +300,18 @@ def incremental_focal(
             }]
         )
 
+    latest_file = os.path.join(state_path, "LATEST")
+    manifest_dir = os.path.join(state_path, "MANIFEST")
+
+    def _read_latest() -> int | None:
+        return _ivm_latest(state_path)
+
+    def _load_manifest(bid: int) -> dict[str, int]:
+        return _ivm_manifest(state_path, bid)
+
+    def _state_df(spark: SparkSession, manifest: dict[str, int]) -> DataFrame | None:
+        return _ivm_state_df(spark, state_path, manifest)
+
     def process_batch(batch_cells: DataFrame, batch_id: int) -> None:
         spark = batch_cells.sparkSession
         # scope the dynamic-overwrite mode to THIS batch: restore the
@@ -235,47 +321,56 @@ def incremental_focal(
         _prev_mode = spark.conf.get(_mode_key, None)
         spark.conf.set(_mode_key, "dynamic")
         try:
-            _process_batch_inner(spark, batch_cells)
+            _process_batch_inner(spark, batch_cells, batch_id)
         finally:
             if _prev_mode is None:
                 spark.conf.unset(_mode_key)
             else:
                 spark.conf.set(_mode_key, _prev_mode)
 
-    def _process_batch_inner(spark: SparkSession, batch_cells: DataFrame) -> None:
+    def _process_batch_inner(
+        spark: SparkSession, batch_cells: DataFrame, batch_id: int
+    ) -> None:
+        from engine.lakehouse import _atomic_write_json
+
+        last = _read_latest()
+        if last is not None and batch_id <= last:
+            # replay of a fully committed batch (LATEST is written as
+            # the final step) — the additive merge below is not
+            # idempotent, so re-running it would double-count
+            return
+        manifest = _load_manifest(last) if last is not None else {}
         delta = tiling.rasterize(batch_cells, T, level, stat="count")
         delta.persist()
         dirty0 = delta.select("tile_x", "tile_y").distinct()
-        # NB: dynamic partitionOverwriteMode writes NO _SUCCESS marker at
-        # the root — detect prior state by the presence of partition dirs
-        # (foreachBatch is serial per query, so this is race-free).
-        if os.path.isdir(state_path) and any(
-            e.startswith("tile_x=") for e in os.listdir(state_path)
-        ):
-            # partitioned read-back reorders columns (partition cols
-            # last) — select into TILES_SCHEMA order and union BY NAME,
-            # and materialize (eager localCheckpoint) before the
-            # dynamic overwrite so we never overwrite files still
-            # pending read in the same action.
-            prev = spark.read.parquet(state_path).select(
-                "tile_x", "tile_y", "level", "band", "nrows", "ncols", "data"
-            )
+        prev = _state_df(spark, manifest)
+        if prev is not None:
             merged = (
                 prev.join(dirty0, ["tile_x", "tile_y"], "left_semi")
                 .unionByName(delta)
                 .groupBy("tile_x", "tile_y")
                 .applyInPandas(merge_tiles, tiling.TILES_SCHEMA)
-                .localCheckpoint()
             )
         else:
             merged = delta
-        # upsert ONLY the updated tiles' state partitions
-        merged.write.mode("overwrite").partitionBy("tile_x", "tile_y").parquet(
-            state_path
+        # 1. this batch's merged dirty tiles -> an idempotent version
+        #    dir (a replay overwrites it with identical bytes)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v{batch_id}")
         )
-        # dirty = updated ∪ 8-ring; inputs = ring(dirty) ∪ dirty
+        # 2. manifest: dirty tiles now live in v<batch_id> (atomic file)
+        new_manifest = dict(manifest)
+        for row in dirty0.collect():  # one row per touched tile
+            new_manifest[f"{int(row.tile_x)},{int(row.tile_y)}"] = batch_id
+        os.makedirs(manifest_dir, exist_ok=True)
+        _atomic_write_json(
+            os.path.join(manifest_dir, f"{batch_id}.json"), new_manifest
+        )
+        # 3. focal over dirty ∪ ring from the NEW state; only dirty
+        #    tiles' outputs upsert (dynamic partition overwrite) —
+        #    recomputed identically on a replay, so idempotent
         dirty = neighbors(dirty0)
-        inputs = spark.read.parquet(state_path).join(
+        inputs = _state_df(spark, new_manifest).join(
             neighbors(dirty), ["tile_x", "tile_y"], "left_semi"
         )
         out = tiling.apply_focal(
@@ -284,6 +379,12 @@ def incremental_focal(
         out.write.mode("overwrite").partitionBy("tile_x", "tile_y").parquet(
             out_path
         )
+        # 4. COMMIT: the atomic LATEST pointer makes the batch visible;
+        #    a crash before this line leaves the previous batch live
+        tmp = latest_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, latest_file)
         delta.unpersist()
 
     def start():

@@ -166,6 +166,31 @@ def test_full_pipeline_resume_idempotent(spark, docs, tmp_path):
         assert all(LakeTable(str(tmp_path), stage).verify_snapshot().values())
 
 
+def test_pipeline_lineage_scoping(spark, docs, tmp_path):
+    """Per-stage lineage: a focal-only change recomputes ONLY the stats
+    stage; flipping wrap invalidates stats; different documents at the
+    same root recompute ingest (a constant input tag used to WAL-skip
+    everything and silently serve the old data)."""
+    from pyspark.sql import functions as F
+
+    cfg = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=3)
+    run_pipeline(spark, docs, cfg)
+    # r=3 -> r=5: geocode + rasterize stay skipped, stats recomputes
+    cfg2 = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=5)
+    snaps = run_pipeline(spark, docs, cfg2)
+    assert snaps["points"]["computed_partitions"] == 0
+    assert snaps["tiles"]["computed_partitions"] == 0
+    assert snaps["stats"]["computed_partitions"] > 0
+    # wrap flip reaches the stats lineage (it changes the seam values)
+    cfg3 = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=5, wrap=False)
+    snaps = run_pipeline(spark, docs, cfg3)
+    assert snaps["stats"]["computed_partitions"] > 0
+    # different docs at the same root: ingest must recompute
+    docs2 = docs.withColumn("doc_id", F.concat(F.lit("x"), "doc_id"))
+    snaps = run_pipeline(spark, docs2, cfg3)
+    assert snaps["ingest"]["computed_partitions"] > 0
+
+
 def test_pipeline_stats_match_direct(spark, docs, tmp_path):
     """The committed pipeline result == the uncommitted direct dataflow."""
     from engine import tiling, udfs

@@ -50,6 +50,14 @@ def test_decode_rejects_malformed():
         mm.decode_wav(
             b"RIFF" + struct.pack("<I", 4) + b"WAVE"
         )                                              # no fmt/data
+    with pytest.raises(ValueError, match="mono"):
+        body = np.zeros(8, dtype="<i2").tobytes()      # stereo: the
+        mm.decode_wav(                                 # pinned mono
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )                                              # features can't
+                                                       # represent it
 
 
 def test_synth_roundtrip_matches_generator_params():

@@ -202,3 +202,38 @@ def test_incremental_focal_equals_batch(spark, stream_src, tmp_path):
             np.nan_to_num(got[k], nan=-9), np.nan_to_num(want[k], nan=-9),
             rtol=1e-12, atol=1e-12, err_msg=str(k),
         )
+
+    # exactly-once replay guard (r5): wipe the streaming checkpoint and
+    # drain the SAME files into the SAME work_dir — every micro-batch
+    # replays with an already-committed batch_id and must be skipped;
+    # the additive count state must not double
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ivm" / "_checkpoint"))
+    q2 = start()
+    q2.awaitTermination()
+    state = streaming.read_state(spark, state_path)
+    got_state = {
+        (r_.tile_x, r_.tile_y): np.asarray(r_.data, dtype=np.float64)
+        for r_ in state.collect()
+    }
+    want_state = {
+        (r_.tile_x, r_.tile_y): np.asarray(r_.data, dtype=np.float64)
+        for r_ in batch_tiles.collect()
+    }
+    assert set(got_state) == set(want_state)
+    for k in want_state:
+        np.testing.assert_allclose(
+            np.nan_to_num(got_state[k], nan=-9),
+            np.nan_to_num(want_state[k], nan=-9), err_msg=str(k),
+        )
+    got2 = {
+        (r_.tile_x, r_.tile_y, r_.band): np.asarray(r_.data, dtype=np.float64)
+        for r_ in spark.read.parquet(out_path).collect()
+    }
+    assert set(got2) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.nan_to_num(got2[k], nan=-9), np.nan_to_num(want[k], nan=-9),
+            rtol=1e-12, atol=1e-12, err_msg=str(k),
+        )
