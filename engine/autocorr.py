@@ -74,6 +74,13 @@ def band_moments(tiles: DataFrame, band: str) -> tuple[int, float, float]:
         )
         .collect()[0]
     )
+    if row.n is None or int(row.n) == 0:
+        # agg over zero rows returns nulls — raise with the band name
+        # instead of an opaque TypeError/ZeroDivisionError downstream
+        raise ValueError(
+            f"band_moments: no finite cells for band {band!r} "
+            "(missing band or all-NaN raster)"
+        )
     return int(row.n), float(row.s), float(row.s2)
 
 

@@ -138,7 +138,6 @@ _OVERLAY_SCHEMA = (
 def overlay_intersection(
     a_polys: DataFrame,
     b_polys: DataFrame,
-    spark=None,
     bin_size: float = 16.0,
 ) -> DataFrame:
     """Polygon overlay A ∩ B: one row per intersecting (a_id, b_id)

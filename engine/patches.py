@@ -34,8 +34,6 @@ and SI_{patch(c)} per cell c.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -143,9 +141,12 @@ def _driver_union_find(edges: pd.DataFrame, nodes: np.ndarray) -> pd.DataFrame:
 def _distributed_min_label(
     spark: SparkSession, edges_df: DataFrame, nodes_df: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
-    """Iterative min-label propagation (the classic Spark connected-
-    components fixpoint): labels converge to the component minimum in
-    O(log diameter) rounds. edges: (a, b); nodes: (label)."""
+    """Min-label propagation WITH pointer jumping: each round takes the
+    min over neighbors' roots AND composes the root map with itself
+    (root <- root[root]), so chains halve per round and convergence is
+    O(log diameter) — plain neighbor-min alone needs O(diameter) rounds
+    and a 30-round cap would silently split any patch spanning a longer
+    tile chain. Non-convergence raises. edges: (a, b); nodes: (label)."""
     und = edges_df.union(edges_df.select(F.col("b").alias("a"), F.col("a").alias("b")))
     lab = nodes_df.select(F.col("label"), F.col("label").alias("root"))
     for _ in range(max_rounds):
@@ -161,6 +162,16 @@ def _distributed_min_label(
                 F.least(F.col("root"), F.coalesce("nb_root", "root")).alias("root"),
             )
         )
+        # pointer jump: roots are always node labels, so root's own
+        # current root is defined — one self-join halves every chain
+        jump = new.select(F.col("label").alias("_l"), F.col("root").alias("_r"))
+        new = (
+            new.join(jump, new.root == F.col("_l"), "left")
+            .select(
+                "label",
+                F.least(F.col("root"), F.coalesce("_r", "root")).alias("root"),
+            )
+        )
         new = new.localCheckpoint()  # truncate lineage each round
         changed = (
             new.join(lab.withColumnRenamed("root", "old"), "label")
@@ -171,6 +182,11 @@ def _distributed_min_label(
         lab = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"_distributed_min_label did not converge in {max_rounds} "
+            "rounds — seam graph deeper than 2^rounds?"
+        )
     return lab
 
 
@@ -187,7 +203,7 @@ _LABEL_STAGE_SCHEMA = (
     "tile_x int, tile_y int, kind string, "
     "labels array<long>, klass array<double>, area array<long>, perim array<long>, "
     "min_gidx array<long>, plane binary, "
-    "strip_labels binary, strip_klass binary, border string"
+    "strip_labels binary, strip_klass binary, border string, side string"
 )
 
 # global cell index stride: gidx = gy * 2^32 + gx — row-major global
@@ -233,9 +249,17 @@ def build_patches(
             return pd.DataFrame(
                 columns=["tile_x", "tile_y", "kind", "labels", "klass",
                          "area", "perim", "min_gidx", "plane",
-                         "strip_labels", "strip_klass", "border"]
+                         "strip_labels", "strip_klass", "border", "side"]
             )
         bands, nr, nc = got
+        if len(bands) != 1:
+            # loud single-band contract (matches zonal/autocorr): a
+            # multi-band frame would otherwise die in an opaque
+            # unpacking ValueError inside the task
+            raise ValueError(
+                "build_patches needs SINGLE-band class tiles; got bands "
+                f"{sorted(bands)} — filter(F.col('band') == ...) first"
+            )
         (_, padded), = bands.items()
         core = padded[1 : 1 + nr, 1 : 1 + nc]
         tx, ty = int(key[0]), int(key[1])
@@ -268,7 +292,8 @@ def build_patches(
                     "perim": perims.astype(np.int64).tolist(),
                     "min_gidx": min_gidx.tolist(),
                     "plane": None,
-                    "strip_labels": None, "strip_klass": None, "border": None,
+                    "strip_labels": None, "strip_klass": None,
+                    "border": None, "side": None,
                 }
             )
         # label plane (packed int64 bytes — T² values; the pipeline's
@@ -279,12 +304,13 @@ def build_patches(
                 "labels": None, "klass": None,
                 "area": [nr, nc], "perim": None, "min_gidx": None,
                 "plane": glab.ravel().astype("<i8").tobytes(),
-                "strip_labels": None, "strip_klass": None, "border": None,
+                "strip_labels": None, "strip_klass": None,
+                "border": None, "side": None,
             }
         )
         # border strips: right column → border v:(tx,ty); left column →
         # border v:(tx-1,ty); bottom row → h:(tx,ty); top row → h:(tx,ty-1)
-        def strip(sl_lab, sl_k, border):
+        def strip(sl_lab, sl_k, border, side):
             rows.append(
                 {
                     "tile_x": tx, "tile_y": ty, "kind": "strip",
@@ -296,19 +322,22 @@ def build_patches(
                     "strip_klass": np.ascontiguousarray(
                         sl_k, dtype="<f8"
                     ).tobytes(),
-                    "border": border,
+                    "border": border, "side": side,
                 }
             )
 
         left_tx = tx - 1
         if wrap_nx is not None:
             left_tx %= wrap_nx
-        strip(glab[:, -1], core[:, -1], f"v:{tx}:{ty}")
+        # `side` disambiguates the pair when BOTH strips come from the
+        # same tile (wrap_nx == 1: left_tx == tx, so the tile's own
+        # right column and its left column share one border key)
+        strip(glab[:, -1], core[:, -1], f"v:{tx}:{ty}", "own")
         if left_tx >= 0:
-            strip(glab[:, 0], core[:, 0], f"v:{left_tx}:{ty}")
-        strip(glab[-1, :], core[-1, :], f"h:{tx}:{ty}")
+            strip(glab[:, 0], core[:, 0], f"v:{left_tx}:{ty}", "nbr")
+        strip(glab[-1, :], core[-1, :], f"h:{tx}:{ty}", "own")
         if ty - 1 >= 0:
-            strip(glab[0, :], core[0, :], f"h:{tx}:{ty-1}")
+            strip(glab[0, :], core[0, :], f"h:{tx}:{ty-1}", "nbr")
         return pd.DataFrame(rows)
 
     stage1_df = exchanged.groupBy("dst_tx", "dst_ty").applyInPandas(
@@ -322,11 +351,11 @@ def build_patches(
     def border_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) != 2:
             return pd.DataFrame(columns=["a", "b"])
-        # owner side first (the tile named in the border key)
-        border = str(key[0])
-        _, bx, by = border.split(":")
-        own = pdf[(pdf.tile_x == int(bx)) & (pdf.tile_y == int(by))]
-        other = pdf[~((pdf.tile_x == int(bx)) & (pdf.tile_y == int(by)))]
+        # pair by SIDE marker, not tile identity: at wrap_nx == 1 both
+        # strips of a v-border come from the SAME tile and a tile-key
+        # filter would match both rows, dropping every seam edge
+        own = pdf[pdf.side == "own"]
+        other = pdf[pdf.side == "nbr"]
         if len(own) != 1 or len(other) != 1:
             return pd.DataFrame(columns=["a", "b"])
         la = np.frombuffer(own.iloc[0].strip_labels, dtype="<i8")
@@ -375,6 +404,8 @@ def build_patches(
     # deterministic across tile sizes and replicable by the SQL oracle
     merged = attrs.join(mapping, "label")
     canon = merged.groupBy("root").agg(F.min("min_gidx").alias("patch_id"))
+    # eager checkpoint (per-patch rows, small): makes the returned
+    # table self-contained so the stage caches can be released below
     patch_table = (
         merged.groupBy("root")
         .agg(
@@ -384,6 +415,7 @@ def build_patches(
         )
         .join(canon, "root")
         .select("patch_id", "klass", "area", "perimeter")
+        .localCheckpoint(eager=True)
     )
 
     # relabel by JOIN, not driver broadcast: a tile's distinct provisional
@@ -400,9 +432,18 @@ def build_patches(
         .agg(F.collect_list(F.struct("label", "canon")).alias("m"))
     )
     planes = stage1_df.filter(F.col("kind") == "plane")
-    joined = planes.select("tile_x", "tile_y", "plane", "area").join(
-        tile_map, ["tile_x", "tile_y"], "left"
+    # eager checkpoint of (plane payload + per-tile map), then drop the
+    # stage caches: without this every build_patches call pinned the
+    # full T² label payload AND attrs in executor storage for the
+    # session lifetime (the returned DataFrames' lineage referenced
+    # them), and repeated calls accumulated until storage was exhausted
+    joined = (
+        planes.select("tile_x", "tile_y", "plane", "area")
+        .join(tile_map, ["tile_x", "tile_y"], "left")
+        .localCheckpoint(eager=True)
     )
+    stage1_df.unpersist()
+    attrs.unpersist()
 
     def relabel(pdf_iter):
         for pdf in pdf_iter:
@@ -412,7 +453,16 @@ def build_patches(
                 lab = np.frombuffer(row.plane, dtype="<i8")
                 data = np.full(len(lab), np.nan)
                 pos_mask = lab >= 0
-                if row.m is not None and len(row.m) and pos_mask.any():
+                if pos_mask.any():
+                    if row.m is None or not len(row.m):
+                        # attrs cover every provisional label, so a tile
+                        # with labels but no map is an internal bug —
+                        # NaN-ing it would silently erase patches
+                        raise RuntimeError(
+                            "build_patches relabel: tile "
+                            f"({row.tile_x},{row.tile_y}) has labels but "
+                            "no label→canonical map"
+                        )
                     pairs = [
                         (e["label"], e["canon"]) if isinstance(e, dict) else (e[0], e[1])
                         for e in row.m
@@ -421,10 +471,19 @@ def build_patches(
                     m_can = np.array([p[1] for p in pairs], dtype=np.int64)
                     order = np.argsort(m_lab)
                     m_lab, m_can = m_lab[order], m_can[order]
-                    pos = np.searchsorted(m_lab, lab[pos_mask])
-                    data[pos_mask] = m_can[np.clip(pos, 0, len(m_lab) - 1)].astype(
-                        np.float64
+                    want = lab[pos_mask]
+                    pos = np.clip(
+                        np.searchsorted(m_lab, want), 0, len(m_lab) - 1
                     )
+                    if not (m_lab[pos] == want).all():
+                        # a clipped mismatch would paint a NEIGHBORING
+                        # patch's canonical id — fail loudly instead
+                        missing = np.unique(want[m_lab[pos] != want])[:5]
+                        raise RuntimeError(
+                            "build_patches relabel: unmapped labels in "
+                            f"tile ({row.tile_x},{row.tile_y}): {missing}"
+                        )
+                    data[pos_mask] = m_can[pos].astype(np.float64)
                 out.append(
                     {
                         "tile_x": row.tile_x, "tile_y": row.tile_y,
@@ -526,8 +585,14 @@ def derive_patch_planes(
                     m_id, m_ia, m_si = m_id[order], m_ia[order], m_si[order]
                     ids = lab[finite].astype(np.int64)
                     pos = np.clip(np.searchsorted(m_id, ids), 0, len(m_id) - 1)
-                    ia[finite] = m_ia[pos]
-                    sv[finite] = m_si[pos]
+                    # exact-match mask: patch_table is a public input
+                    # and may legitimately cover a subset of patches —
+                    # unmatched ids get NaN planes, never a clipped
+                    # neighbor's stats
+                    hit = m_id[pos] == ids
+                    fin_idx = np.flatnonzero(finite)[hit]
+                    ia[fin_idx] = m_ia[pos[hit]]
+                    sv[fin_idx] = m_si[pos[hit]]
                 for band, data in (("inv_area", ia), ("si", sv)):
                     out.append(
                         {

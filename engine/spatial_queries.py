@@ -1678,7 +1678,7 @@ def sq_overlay(spark: SparkSession, sf: str) -> DataFrame:
     ddl = "poly_id long, xs array<double>, ys array<double>"
     subj = spark.createDataFrame(_OVERLAY_SUBJECTS, ddl)
     clips = spark.createDataFrame(_OVERLAY_CLIPS, ddl)
-    out = overlay.overlay_intersection(subj, clips, spark)
+    out = overlay.overlay_intersection(subj, clips)
     return out.select(
         "a_id", "b_id",
         F.col("n_pts").cast("long").alias("n_pts"),

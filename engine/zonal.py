@@ -431,7 +431,10 @@ def quantile_exact(
         {
             "k": max(1, int(math.ceil(q * n))),  # 1-based target rank
             "lo": float(g.mn),
-            "hi": float(g.mx) + 1e-9,
+            # next representable double, NOT mx + eps: an absolute
+            # epsilon is a no-op for |mx| >= ~1e7 and every max-valued
+            # cell would fall outside the half-open [lo, hi) scans
+            "hi": float(np.nextafter(g.mx, np.inf)),
             "rem": n,
         }
         for q in qs
@@ -539,11 +542,15 @@ def zonal_geometry(
     )
     area = F.sum("a").cast("long")
     perim = F.sum("p").cast("long")
+    # square in DOUBLE: perim*perim in long overflows int64 for
+    # perimeters above ~3e9 cells (silent wrap with ANSI off, job
+    # failure with ANSI on)
+    perim_d = perim.cast("double")
     return part.groupBy("zone").agg(
         area.alias("area_cells"),
         perim.alias("perimeter"),
         F.round(
-            (F.lit(4.0 * math.pi) * area) / (perim * perim).cast("double"),
+            (F.lit(4.0 * math.pi) * area) / (perim_d * perim_d),
             6,
         ).alias("compactness"),
     )

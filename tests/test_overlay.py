@@ -112,7 +112,6 @@ def test_overlay_intersection_distributed_matches_kernel(spark):
     out = overlay_intersection(
         spark.createDataFrame(rng_polys, ddl),
         spark.createDataFrame(clip_polys, ddl),
-        spark,
         bin_size=16.0,
     ).collect()
     got = {(r.a_id, r.b_id): (r.n_pts, r.area_q, r.vsum_q) for r in out}
@@ -143,7 +142,7 @@ def test_overlay_plan_no_cartesian_one_clip_pass(spark):
         [(j, [2.0 + j, 6.0 + j, 6.0 + j, 2.0 + j], [1.0, 1.0, 6.0, 6.0])
          for j in range(20)], ddl,
     )
-    out = overlay_intersection(a, b, spark)
+    out = overlay_intersection(a, b)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -192,6 +192,28 @@ def test_patch_stats_edge_corrected(spark, raster, brute, shape, r):
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12, err_msg=band)
 
 
+def test_build_patches_wrap_single_tile_column(spark):
+    """wrap_nx == 1: both strips of a v-border come from the SAME tile,
+    so pairing by tile identity (the old owner filter) dropped every
+    seam edge — two stripes touching only across the antimeridian must
+    still fuse into ONE patch."""
+    arr = np.full((8, 8), np.nan)
+    arr[:, 0] = 1.0
+    arr[:, 7] = 1.0
+    label_tiles, patch_table = patches.build_patches(
+        tiles_df(spark, arr, 8), 8, spark, wrap_nx=1
+    )
+    pt = patch_table.toPandas()
+    assert len(pt) == 1, pt
+    assert int(pt.iloc[0].area) == 16
+    got = fixtures.array_from_tiles_rows(label_tiles.toPandas(), 8)
+    ids = got[np.isfinite(got)]
+    assert len(set(ids.tolist())) == 1
+    # without wrap the same raster is TWO patches
+    _, pt2 = patches.build_patches(tiles_df(spark, arr, 8), 8, spark)
+    assert len(pt2.toPandas()) == 2
+
+
 def test_build_patches_many_patches_distributed(spark):
     """Scale guard: the fully-distributed W14 path (fixpoint equivalence
     + join-based relabel) on a raster with >10^5 patches — nothing on
