@@ -86,13 +86,17 @@ def reclassify(
     default: float = float("nan"),
     level: int = 0,
 ) -> DataFrame:
-    """Class raster -> value raster through a sorted-key lookup."""
+    """Class raster -> value raster through a sorted-key lookup.
+
+    Pinned semantics (SURVEY §2 L2): unmapped FINITE classes get
+    ``default``; NaN (nodata) STAYS NaN — reclassification must never
+    inject values into nodata regions."""
     keys = np.array(sorted(mapping), dtype=np.float64)
     vals = np.array([mapping[int(k)] for k in keys], dtype=np.float64)
 
     def remap(got: dict) -> np.ndarray:
         a = got[band]
-        out = np.full(a.shape, default, dtype=np.float64)
+        out = np.full(a.shape, np.nan, dtype=np.float64)
         finite = np.isfinite(a)
         pos = np.searchsorted(keys, a[finite])
         pos_ok = (pos < len(keys)) & (keys[np.clip(pos, 0, len(keys) - 1)] == a[finite])

@@ -46,6 +46,22 @@ __all__ = [
 ]
 
 
+def _bilinear_corners(fx, fy):
+    """THE pinned bilinear corner rule, in one place: corner order
+    (0,0),(0,1),(1,0),(1,1) with per-axis weights (1-f, f). Every
+    bilinear implementation in this module (_sample_from_rows,
+    bilinear_2x, sample_bilinear) iterates this generator — the DuckDB
+    oracles mirror the same rule bit-for-bit, so a weight/order change
+    must happen here and nowhere else. The anchor convention
+    (floor(p - 0.5), NaN-renormalize, den==0 -> NaN) is shared by the
+    three call sites per their docstrings."""
+    for dy in (0, 1):
+        wy = (1.0 - fy) if dy == 0 else fy
+        for dx in (0, 1):
+            wx = (1.0 - fx) if dx == 0 else fx
+            yield dy, dx, wy, wx
+
+
 def _sample_from_rows(
     pdf: pd.DataFrame, p_i: np.ndarray, p_j: np.ndarray, method: str, T: int
 ) -> np.ndarray:
@@ -81,24 +97,21 @@ def _sample_from_rows(
     fy = (pj - 0.5) - j0
     num = np.zeros(n)
     den = np.zeros(n)
-    for dy in (0, 1):
-        wy = (1.0 - fy) if dy == 0 else fy
-        for dx in (0, 1):
-            wx = (1.0 - fx) if dx == 0 else fx
-            ci, cj = i0 + dx, j0 + dy
-            for row in pdf.itertuples(index=False):
-                snr, snc = int(row.nrows), int(row.ncols)
-                arr = np.asarray(row.data, dtype=np.float64)
-                li = ci - row.tile_x * T
-                lj = cj - row.tile_y * T
-                sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
-                if not sel.any():
-                    continue
-                v = arr[lj[sel] * snc + li[sel]]
-                okc = ~np.isnan(v)
-                w = (wy * wx)[sel]
-                num[sel] += np.where(okc, w * v, 0.0)
-                den[sel] += np.where(okc, w, 0.0)
+    for dy, dx, wy, wx in _bilinear_corners(fx, fy):
+        ci, cj = i0 + dx, j0 + dy
+        for row in pdf.itertuples(index=False):
+            snr, snc = int(row.nrows), int(row.ncols)
+            arr = np.asarray(row.data, dtype=np.float64)
+            li = ci - row.tile_x * T
+            lj = cj - row.tile_y * T
+            sel = (li >= 0) & (li < snc) & (lj >= 0) & (lj < snr)
+            if not sel.any():
+                continue
+            v = arr[lj[sel] * snc + li[sel]]
+            okc = ~np.isnan(v)
+            w = (wy * wx)[sel]
+            num[sel] += np.where(okc, w * v, 0.0)
+            den[sel] += np.where(okc, w, 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         out = num / den
     out[den == 0.0] = np.nan
@@ -118,15 +131,12 @@ def bilinear_2x(padded: np.ndarray, nr: int, nc: int, g: int = 1) -> np.ndarray:
     ix0, fx = axis(nc)
     num = np.zeros((2 * nr, 2 * nc))
     den = np.zeros((2 * nr, 2 * nc))
-    for dy in (0, 1):
-        wy = (1.0 - fy) if dy == 0 else fy
-        for dx in (0, 1):
-            wx = (1.0 - fx) if dx == 0 else fx
-            v = padded[np.ix_(iy0 + dy + g, ix0 + dx + g)]
-            w = wy[:, None] * wx[None, :]
-            ok = ~np.isnan(v)
-            num += np.where(ok, w * v, 0.0)
-            den += np.where(ok, w, 0.0)
+    for dy, dx, wy, wx in _bilinear_corners(fx, fy):
+        v = padded[np.ix_(iy0 + dy + g, ix0 + dx + g)]
+        w = wy[:, None] * wx[None, :]
+        ok = ~np.isnan(v)
+        num += np.where(ok, w * v, 0.0)
+        den += np.where(ok, w, 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         out = num / den
     out[den == 0.0] = np.nan
@@ -255,19 +265,16 @@ def sample_bilinear(
         fx, fy = px - ix0, py - iy0
         num = np.zeros(len(pts_pdf))
         den = np.zeros(len(pts_pdf))
-        for dy in (0, 1):
-            wy = (1.0 - fy) if dy == 0 else fy
-            for dx in (0, 1):
-                wx = (1.0 - fx) if dx == 0 else fx
-                yy = np.clip(iy0 + dy + 1, 0, padded.shape[0] - 1)
-                xx = np.clip(ix0 + dx + 1, 0, padded.shape[1] - 1)
-                # clip only guards indexing; out-of-pad corners are NaN
-                # pad anyway, and anchor choice keeps true corners in-pad
-                v = padded[yy, xx]
-                ok = ~np.isnan(v)
-                w = wy * wx
-                num += np.where(ok, w * v, 0.0)
-                den += np.where(ok, w, 0.0)
+        for dy, dx, wy, wx in _bilinear_corners(fx, fy):
+            yy = np.clip(iy0 + dy + 1, 0, padded.shape[0] - 1)
+            xx = np.clip(ix0 + dx + 1, 0, padded.shape[1] - 1)
+            # clip only guards indexing; out-of-pad corners are NaN
+            # pad anyway, and anchor choice keeps true corners in-pad
+            v = padded[yy, xx]
+            ok = ~np.isnan(v)
+            w = wy * wx
+            num += np.where(ok, w * v, 0.0)
+            den += np.where(ok, w, 0.0)
         out = pts_pdf[cols].copy()
         with np.errstate(invalid="ignore", divide="ignore"):
             out["value"] = num / den
@@ -321,37 +328,52 @@ def warp_affine(
     absent/out-of-extent output tiles are simply absent (sparse-raster
     convention).
 
-    Minification guard (round 4, pinned semantics): a strongly
-    minifying affine would gather O(area-ratio) source tiles into one
+    Minification guard (round 4, pinned semantics; r5 fix): a strongly
+    minifying affine would gather O(extent-ratio) source tiles into one
     output group — an executor-memory cliff at, say, 32x downscale.
-    When ``|det| = |a·e − b·d|`` (source pixels per output pixel)
-    exceeds ``max_fanout``, the source is pre-reduced through the MEAN
-    overview pyramid (engine/pyramid.block_reduce semantics, the
-    standard warp-with-overviews behavior) to the level whose residual
-    ratio is <= ``max_fanout``, and the warp samples that level with
-    the coeffs rescaled by 2^levels — per-group gather stays bounded
-    at every ratio. ``stats`` (optional dict) records
-    {'det', 'overview_levels', 'residual_det'} for plan tests.
+    TWO guarded quantities (|det| alone misses anisotropic scales and
+    pure shears entirely — (256, 0, …, 1/64, …) has |det| = 4 but
+    spans ~257 source tile columns):
+    the per-axis extent product ``fan = (|a|+|b|) · (|d|+|e|)``
+    (source pixels per output pixel, == |det| for axis-aligned
+    scales), reduced past ``max_fanout``; AND each single-axis extent
+    (``|a|+|b|``, ``|d|+|e|``), reduced past 16 tiles so a skinny
+    bbox can't gather a whole tile row. Pre-reduction goes through
+    the overview pyramid (engine/pyramid.block_reduce semantics, the
+    standard warp-with-overviews behavior) — MEAN for bilinear, MODE
+    for nearest (averaging class codes would fabricate new classes
+    under the categorical-preserving sampler) — and the warp samples
+    that level with the coeffs rescaled by 2^levels. A loud 256-tile
+    backstop in the gather kernel (warp_transform's contract) guards
+    whatever the planner did not foresee. ``stats`` records {'det',
+    'fanout_xy', 'overview_levels', 'residual_det'} for plan tests.
     """
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown warp method: {method}")
     a, b, c, d, e, f = (float(x) for x in coeffs)
 
     det = abs(a * e - b * d)
+    fx, fy = abs(a) + abs(b), abs(d) + abs(e)
     n_over = 0
     if max_fanout and np.isfinite(max_fanout):
-        while det / (4.0 ** n_over) > max_fanout:
+        while (fx * fy) / (4.0 ** n_over) > max_fanout or (
+            max(fx, fy) / (2.0 ** n_over) > 16.0
+        ):
             n_over += 1
     if stats is not None:
         stats["det"] = det
+        stats["fanout_xy"] = (fx, fy)
         stats["overview_levels"] = n_over
         stats["residual_det"] = det / (4.0 ** n_over)
     if n_over:
         from engine import pyramid
 
-        reduced = tiles
+        # band-filter FIRST: the overview reduction is Python-side
+        # work per tile and must not run over the other bands
+        reduced = tiles.filter(F.col("band") == band)
+        agg = "mode" if method == "nearest" else "mean"
         for k in range(n_over):
-            reduced = pyramid.build_overview(reduced, T, level - k, "mean")
+            reduced = pyramid.build_overview(reduced, T, level - k, agg)
         s = float(2 ** n_over)
         return warp_affine(
             reduced, T,
@@ -416,6 +438,15 @@ def warp_affine(
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         otx, oty = int(key[0]), int(key[1])
+        if len(pdf) > 256:
+            # belt-and-braces executor-memory backstop (the
+            # warp_transform contract): the fanout guard should keep
+            # groups small; anything past it must fail loudly, not OOM
+            raise RuntimeError(
+                f"warp_affine: output tile ({otx},{oty}) gathers "
+                f"{len(pdf)} source tiles — raise max_fanout guarding "
+                "or pre-reduce the source"
+            )
         onr = min(H - oty * T, T)
         onc = min(W - otx * T, T)
         oj, oi = np.divmod(np.arange(onr * onc), onc)

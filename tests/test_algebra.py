@@ -37,7 +37,10 @@ def test_reclassify_unmapped_default(spark):
     )
     out = algebra.reclassify(tiles, 2, RECLASS, default=-1.0).toPandas()
     got = np.asarray(out.iloc[0].data).reshape(2, 2)
-    np.testing.assert_allclose(got, [[10.0, -1.0], [-1.0, 30.0]], rtol=0)
+    # unmapped finite (5.0) -> default; NaN nodata STAYS NaN (§2 L2)
+    np.testing.assert_allclose(
+        got, [[10.0, -1.0], [np.nan, 30.0]], rtol=0, equal_nan=True
+    )
 
 
 def test_local_map_normalized_difference(spark):

@@ -327,10 +327,15 @@ def test_warp_affine_minification_routes_through_pyramid(spark):
         16, 4, 4,
     )
     # bounded per-group gather: residual source-per-output ratio <= 4
-    assert stats == {"det": 256.0, "overview_levels": 3, "residual_det": 4.0}
+    assert stats == {
+        "det": 256.0, "fanout_xy": (16.0, 16.0),
+        "overview_levels": 3, "residual_det": 4.0,
+    }
     red = arr
     for _ in range(3):
-        red = block_reduce(red, "mean")
+        # method='nearest' (the default) pre-reduces via MODE — mean
+        # would fabricate new class codes on categorical rasters
+        red = block_reduce(red, "mode")
     want = brute_warp(red, (2, 0, 0, 0, 2, 0), (4, 4))
     assert np.isfinite(want).any()
     np.testing.assert_allclose(
@@ -342,6 +347,15 @@ def test_warp_affine_minification_routes_through_pyramid(spark):
         tiles, 16, (0.7, -0.4, 6.0, 0.4, 0.7, -3.0), (40, 56), stats=stats2
     )
     assert stats2["overview_levels"] == 0
+    # anisotropic/shear guard (r5): |det|=4 would sneak past an
+    # area-only guard while spanning ~257 source tile columns — the
+    # per-axis cap must pre-reduce until <= 16 tiles on the long axis
+    stats3: dict = {}
+    resample.warp_affine(
+        tiles, 16, (256.0, 0, 0, 0, 1 / 64.0, 0), (4, 4), stats=stats3
+    ).collect()  # must not hit the 256-tile gather backstop
+    assert stats3["overview_levels"] == 4
+    assert max(stats3["fanout_xy"]) / 2 ** stats3["overview_levels"] <= 16.0
 
 
 # ---------------------------------------------------------------------------
