@@ -676,7 +676,10 @@ FROM s GROUP BY lang
 """
 
 
-_RADIUS_QUERIES = [(0, 10.0, 20.0), (1, -30.0, -60.0), (2, 55.0, 150.0)]
+# SAME query points as the kNN family by design (q36 radius-joins the
+# geography q11/q24 rank) — alias, don't copy, so an edit cannot
+# silently diverge the workloads
+_RADIUS_QUERIES = _KNN_QUERIES
 _RADIUS_KM = 1500.0
 
 

@@ -57,7 +57,13 @@ _BUCKETS = 10_000
 
 
 def bucket_col(key: Column) -> Column:
-    """key (integer) -> deterministic bucket in [0, 10000)."""
+    """key (integer) -> deterministic bucket in [0, 10000).
+
+    The key is cast to LONG first: on an int32 column, shiftright(key,
+    60) uses Java's mod-32 shift semantics (>>60 becomes >>28) and the
+    bucket silently diverges from bucket_sql's int64 mirror for values
+    >= 2^28."""
+    key = key.cast("long")
     k = (
         (key.bitwiseAND(F.lit(_MASK)))
         .bitwiseXOR(F.shiftright(key, 30).bitwiseAND(F.lit(_MASK)))

@@ -139,26 +139,25 @@ def _build_global_stats() -> tuple[Query, str]:
         )
         return gs.unionByName(mor).unionByName(cc)
 
+    # ONE scan of the (heavy) autocorrelation oracle unpivoted to the
+    # three metric rows — three _wrap_sql copies re-executed the whole
+    # WITH-bearing query per metric on every correctness pass
+    moran_part = (
+        "SELECT m.metric, CAST(0 AS BIGINT) AS key,\n"
+        "       CASE m.metric WHEN 'getis_g' THEN t.w_pairs"
+        " ELSE t.n_cells END AS n,\n"
+        "       CASE m.metric WHEN 'moran_i' THEN t.moran_i"
+        " WHEN 'geary_c' THEN t.geary_c ELSE t.getis_g END AS v\n"
+        f"FROM ({SPATIAL_SINGLES['sq_moran'][1]}) t\n"
+        "CROSS JOIN (VALUES ('moran_i'), ('geary_c'), ('getis_g'))"
+        " m(metric)\n"
+    )
     parts = [
         _wrap_sql(
             SPATIAL_SINGLES["sq_global_summary"][1],
             "'g:' || metric AS metric, key, n, v",
         ),
-        _wrap_sql(
-            SPATIAL_SINGLES["sq_moran"][1],
-            "'moran_i' AS metric, CAST(0 AS BIGINT) AS key,"
-            " n_cells AS n, moran_i AS v",
-        ),
-        _wrap_sql(
-            SPATIAL_SINGLES["sq_moran"][1],
-            "'geary_c' AS metric, CAST(0 AS BIGINT) AS key,"
-            " n_cells AS n, geary_c AS v",
-        ),
-        _wrap_sql(
-            SPATIAL_SINGLES["sq_moran"][1],
-            "'getis_g' AS metric, CAST(0 AS BIGINT) AS key,"
-            " w_pairs AS n, getis_g AS v",
-        ),
+        moran_part,
         _wrap_sql(
             SPATIAL_SINGLES["sq_compact_cells"][1],
             "'compact' AS metric, CAST(level AS BIGINT) AS key,"

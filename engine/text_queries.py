@@ -188,7 +188,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8 - 1e-12
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.8
 """
 
 
@@ -890,18 +890,12 @@ def q25_embedding_neardup(
     cand = neardup_candidates(corpus, srp_bands, srp_rows)
     ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos_sim", dot / (nrm(F.col("emb_a")) * nrm(F.col("emb_b"))))
+        # the ONE pinned cosine (emb is already double; _cos's inner
+        # casts are no-ops) — an inline copy here drifted from _cos
+        .withColumn("cos_sim", _cos(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_sim") >= F.lit(tau))
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -921,11 +915,8 @@ _CORPUS_SQL = f"""
   FROM embeddings
 """
 
-_COS_D_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    " / (SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
-    " * SQRT(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
-)
+# alias: q25's oracle shares the ONE pinned cosine template
+_COS_D_SQL = _COS_SQL
 
 Q25_SQL = f"""
 WITH corpus AS ({_CORPUS_SQL}),
@@ -1789,9 +1780,6 @@ def sq_streaming(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
-
-    from engine.streaming import run_to_memory
 
     base = os.path.join(
         tempfile.gettempdir(),
@@ -1807,6 +1795,22 @@ def sq_streaming(spark: SparkSession, sf: str) -> DataFrame:
     shutil.copy(src, os.path.join(single, "events-0.parquet"))
     shutil.copy(src, os.path.join(double, "events-0.parquet"))
     shutil.copy(src, os.path.join(double, "events-1.parquet"))
+
+    try:
+        return _sq_streaming_drained(spark, single, double)
+    finally:
+        # the drains below are complete and the result reads the
+        # in-memory sink tables, so the staging copies are dead weight;
+        # pid-keyed dirs would otherwise accumulate one 3x-events leak
+        # per process (the fresh-JVM-per-run bench discipline means a
+        # new pid every time)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _sq_streaming_drained(spark: SparkSession, single: str, double: str) -> DataFrame:
+    import uuid
+
+    from engine.streaming import run_to_memory
 
     cents = F.floor(F.col("value") * 100).cast("long")
     tag = uuid.uuid4().hex[:8]  # memory-sink names are session-global
