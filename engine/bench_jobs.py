@@ -10,8 +10,12 @@ job on identical bytes.
 Timing discipline: every leg materializes its input FIRST (parquet in a
 scratch dir) so the timed section measures the operator under test —
 scan → shuffle → kernel → action — not the generator. The action is a
-``noop`` format write (full materialization of every output row and
-column on the executors, zero driver collect) plus a cheap count.
+``count()``: every leg's output is produced inside a pandas-UDF stage
+(applyInPandas/mapInPandas — a black box Catalyst cannot column-prune
+or pushdown through), so count() executes the full pipeline. CAVEAT
+for future legs: a leg built from PLAIN Catalyst operators would be
+pruned to a row count under count() and must use a noop-format write
+instead.
 """
 
 from __future__ import annotations
@@ -211,8 +215,11 @@ def synthetic_points(spark: SparkSession, n: int) -> DataFrame:
     plus the polygon-cluster mix is irrelevant for throughput — PIP cost
     is per candidate row, and the broadcast filter bounds candidates."""
     d = spark.range(0, n, 1, 64)  # fixed file layout (see synthetic_tiles)
-    lat = (F.col("id") * F.lit(2654435761)) % F.lit(2**32) / F.lit(float(2**32)) * 170.0 - 85.0
-    lon = (F.col("id") * F.lit(2246822519)) % F.lit(2**32) / F.lit(float(2**32)) * 360.0 - 180.0
+    # the shim's Knuth multipliers (one source of truth — engine/shim.py)
+    from engine.shim import LAT_MULT, LON_MULT
+
+    lat = (F.col("id") * F.lit(LAT_MULT)) % F.lit(2**32) / F.lit(float(2**32)) * 170.0 - 85.0
+    lon = (F.col("id") * F.lit(LON_MULT)) % F.lit(2**32) / F.lit(float(2**32)) * 360.0 - 180.0
     return d.select(
         F.col("id").alias("q_id"), lat.alias("lat"), lon.alias("lon")
     )

@@ -15,11 +15,12 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import uuid
 import zipfile
 
 from pyspark.sql import SparkSession
 
-_shipped: set[tuple[int, str]] = set()
+_shipped: set[tuple[str, str]] = set()
 
 
 def build_zip(dest_dir: str | None = None) -> str:
@@ -36,7 +37,10 @@ def build_zip(dest_dir: str | None = None) -> str:
     dest_dir = dest_dir or tempfile.gettempdir()
     zpath = os.path.join(dest_dir, f"engine-{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        # uuid-suffixed tmp: a FIXED tmp name let two concurrent
+        # builders truncate each other's partial archive and install a
+        # corrupt zip at the content-addressed (cached-forever) path
+        tmp = f"{zpath}.tmp.{uuid.uuid4().hex[:8]}"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for f in files:
                 z.write(os.path.join(pkg_dir, f), arcname=f"engine/{f}")
@@ -46,7 +50,10 @@ def build_zip(dest_dir: str | None = None) -> str:
 
 def ensure_shipped(spark: SparkSession) -> None:
     zpath = build_zip()
-    key = (id(spark.sparkContext), zpath)
+    # key on applicationId, NOT id(sparkContext): CPython can reuse a
+    # stopped context's address for a new one, which would silently
+    # skip the addPyFile and break every worker import
+    key = (spark.sparkContext.applicationId, zpath)
     if key in _shipped:
         return
     spark.sparkContext.addPyFile(zpath)

@@ -50,6 +50,18 @@ def _wal_name(part: str) -> str:
     return quote(str(part), safe="")
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a directory-entry update (create/rename) durable: fsync of
+    the FILE alone does not order the dir entry on every filesystem, so
+    a power loss could durably persist a pointer to a file whose dir
+    entry was lost."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -57,6 +69,7 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(os.path.abspath(path)))
 
 
 def parquet_row_count(files: list[str]) -> int:
@@ -102,11 +115,17 @@ class LakeTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
+        """All snapshots in ID order (numeric — a lexicographic listing
+        would put snapshot-10 before snapshot-2)."""
+        names = [
+            f for f in os.listdir(self.manifest_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        names.sort(key=lambda f: int(f[len("snapshot-"):-len(".json")]))
         out = []
-        for f in sorted(os.listdir(self.manifest_dir)):
-            if f.startswith("snapshot-") and f.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, f)) as fh:
-                    out.append(json.load(fh))
+        for f in names:
+            with open(os.path.join(self.manifest_dir, f)) as fh:
+                out.append(json.load(fh))
         return out
 
     # -- read (S2/S3) --------------------------------------------------------
@@ -270,6 +289,11 @@ class LakeTable:
             "params": (lineage or {}).get("params", {}),
             "code_version": code_version,
         }
+        # canonicalize through JSON NOW: the WAL stores lineage as JSON,
+        # so a non-native value (tuple param, int dict key) would never
+        # equal its round-tripped form and silently disable resume on
+        # every rerun — full recompute with skipped always 0
+        lin = json.loads(json.dumps(lin, sort_keys=True, default=str))
         expected = (
             None if expected_parts is None
             else sorted(str(p) for p in expected_parts)
@@ -317,6 +341,26 @@ class LakeTable:
             if d.startswith("_part=") and os.path.isdir(os.path.join(tmp, d))
         )
         pending = [unquote(d.split("=", 1)[1]) for d in pending_dirs]
+        # validate BEFORE any move: NULL partition values have no
+        # canonical string key (first run would KeyError mid-commit and
+        # the rerun's ~isin() resume filter silently DROPS null-key
+        # rows), and out-of-domain partitions must not leave committed-
+        # looking data dirs + WAL entries behind
+        if "__HIVE_DEFAULT_PARTITION__" in pending:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"stage {stage_key!r}: NULL values in partition column "
+                f"{partition_col!r} — the canonical-string WAL protocol "
+                "has no NULL key; filter or fill them first"
+            )
+        if expected is not None:
+            extra = sorted(set(pending) - set(expected))
+            if extra:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(
+                    f"stage {stage_key!r} wrote partitions outside "
+                    f"expected_parts: {extra[:5]}"
+                )
         if pending:
             back = spark.read.option("basePath", tmp).parquet(
                 *[os.path.join(tmp, d) for d in pending_dirs]
@@ -350,12 +394,6 @@ class LakeTable:
                 )
         shutil.rmtree(tmp, ignore_errors=True)
         if expected is not None:
-            extra = sorted(set(pending) - set(expected))
-            if extra:
-                raise ValueError(
-                    f"stage {stage_key!r} wrote partitions outside "
-                    f"expected_parts: {extra[:5]}"
-                )
             for part in expected:
                 if part not in done:
                     done[part] = self._write_wal_entry(
@@ -435,6 +473,10 @@ class LakeTable:
                 json.dump(snap, f)
                 f.flush()
                 os.fsync(f.fileno())
+            # the snapshot file's DIR ENTRY must be durable before
+            # LATEST can point at it — file fsync alone doesn't order
+            # the create on every filesystem
+            _fsync_dir(self.manifest_dir)
             break
         # advance LATEST monotonically (never move it backwards under a
         # concurrent higher-id commit)
@@ -449,6 +491,7 @@ class LakeTable:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, ptr)
+            _fsync_dir(self.manifest_dir)
             if (self.latest_snapshot_id() or 0) >= sid:
                 break
         return snap

@@ -59,5 +59,20 @@ def get_spark(
         for k, v in extra_conf.items():
             b = b.config(k, v)
     spark = b.getOrCreate()
+    # getOrCreate returns any pre-existing session AT ITS OWN settings,
+    # silently dropping the requested parallelism — fatal to the
+    # N-vs-4N discipline this module's docstring pins, so say so loudly
+    got_master = spark.sparkContext.master
+    if got_master != f"local[{cores}]":
+        import warnings
+
+        warnings.warn(
+            f"get_spark(cores={cores}) reused an existing session at "
+            f"master={got_master!r}; requested parallelism/config were "
+            "IGNORED — benchmark in a fresh process (spark-submit) for "
+            "declared-parallelism runs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -144,6 +144,52 @@ def test_snapshot_pinning(spark, docs, tmp_path):
     assert tbl.snapshot(s2["snapshot_id"])["parent_id"] == s1["snapshot_id"]
 
 
+def test_write_stage_rejects_null_partition(spark, docs, tmp_path):
+    """NULL partition values have no canonical-string WAL key: the old
+    path KeyError'd mid-commit on the first run and the rerun's
+    ~isin() resume filter silently DROPPED the null-key rows — must
+    refuse up front, before anything is moved or committed."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    bad = docs.withColumn(
+        "part_id",
+        F.when(F.col("part_id") == 0, F.lit(None)).otherwise(F.col("part_id")),
+    )
+    with pytest.raises(ValueError, match="NULL values in partition"):
+        tbl.write_stage(spark, bad, "part_id", "ingest")
+    assert tbl.latest_snapshot_id() is None  # nothing committed
+    assert not os.path.isdir(os.path.join(str(tmp_path), "documents", "data", "ingest")) or not os.listdir(
+        os.path.join(str(tmp_path), "documents", "data", "ingest")
+    )
+
+
+def test_write_stage_lineage_tuple_param_resumes(spark, docs, tmp_path):
+    """Non-JSON-native lineage values (tuple params) must not silently
+    disable resume: the WAL stores lineage as JSON, so the comparison
+    must run on the canonicalized form."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    lin = {"inputs": ["x"], "params": {"window": (3, 3)}}
+    tbl.write_stage(spark, docs, "part_id", "ingest", lin)
+    s2 = tbl.write_stage(
+        spark, docs, "part_id", "ingest",
+        {"inputs": ["x"], "params": {"window": (3, 3)}},
+    )
+    assert s2["computed_partitions"] == 0
+    assert s2["skipped_partitions"] > 0
+
+
+def test_snapshots_numeric_order(spark, docs, tmp_path):
+    """snapshot-10 must come after snapshot-9, not after snapshot-1."""
+    tbl = LakeTable(str(tmp_path), "documents")
+    small = docs.limit(40)
+    for k in range(11):
+        tbl.write_stage(
+            spark, small, "part_id", "ingest",
+            {"inputs": [f"v{k}"], "params": {}},
+        )
+    ids = [s["snapshot_id"] for s in tbl.snapshots()]
+    assert ids == sorted(ids) and len(ids) == 11
+
+
 def test_full_pipeline_resume_idempotent(spark, docs, tmp_path):
     cfg = PipelineConfig(str(tmp_path), level=8, tile_size=16, r=3)
     snaps1 = run_pipeline(spark, docs, cfg)
